@@ -1,0 +1,48 @@
+"""Engine-wide constants and tuning knobs.
+
+All values are pure data — no Spark imports here so the sequential oracle
+(tests/oracle_crawler.py) can share them without a JVM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# Number of host-hash buckets used for partitioning/bucketing frontier, seen
+# and documents tables (SURVEY.md §1).  At 10^10-URL scale this would be
+# O(10^3-10^4); at sandbox scale keep it small enough that every bucket gets
+# data but large enough to exercise the partition-addressable Bloom sidecars.
+NUM_HOST_BUCKETS = 32
+
+# Politeness: one crawl round models a fixed wall-clock window; a host with
+# crawl_delay d seconds is admitted floor(ROUND_SECONDS / d) fetches per round
+# (at least 1 when any budget exists).  SURVEY.md §2.4 P3.
+ROUND_SECONDS = 30.0
+
+# BFS depth bound for the synthetic web fixture (FIXTURES.md §6).
+MAX_DEPTH = 4
+
+# Bloom sidecar sizing (SURVEY.md §2.3 A3): target false-positive rate.
+BLOOM_FP_RATE = 0.01
+
+# Arrow batch size for the fetch/parse mapInPandas stages.
+ARROW_BATCH_ROWS = 4096
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """One crawl run's knobs; identical fields drive the Spark engine and
+    the sequential oracle, which is what makes equality testing meaningful."""
+
+    max_depth: int = MAX_DEPTH
+    max_rounds: int = 64
+    round_seconds: float = ROUND_SECONDS
+    num_host_buckets: int = NUM_HOST_BUCKETS
+    seed: int = 42
+    # synthetic web shape (FIXTURES.md §6)
+    web_hosts: int = 20
+    web_out_degree_mod: int = 8
+    web_same_host_prob: float = 0.7
+    hot_host: str | None = None  # skew fixture: this host receives ~50% of links
+    shuffle_partitions: int = 32
+    extra_spark_conf: dict = field(default_factory=dict)
