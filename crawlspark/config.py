@@ -44,5 +44,9 @@ class CrawlConfig:
     web_out_degree_mod: int = 8
     web_same_host_prob: float = 0.7
     hot_host: str | None = None  # skew fixture: this host receives ~50% of links
+    # Deletable-ban fixture (SURVEY.md §2.3 A4): hosts with robots.banned are
+    # banned for rounds < unban_round, then unbanned (cuckoo delete). None →
+    # banned forever (their frontier entries are dropped, not deferred).
+    unban_round: int | None = None
     shuffle_partitions: int = 32
     extra_spark_conf: dict = field(default_factory=dict)

@@ -1,0 +1,657 @@
+"""Batch-iterative crawl engine (SURVEY.md §3 E1; BASELINE.json:6 north_star).
+
+One driver loop iteration = one crawl round:
+
+  frontier snapshot → [cuckoo ban prefilter → broadcast robots join → robots
+  path match] → [per-host priority ranking → crawl-delay budget admission] →
+  [salted repartition → mapInPandas fetch/parse] → documents + edges appends →
+  [canonicalize extracted links → intra-round dedup → Bloom prefilter →
+  exact seen anti-join] → next frontier snapshot → atomic manifest commit.
+
+Crawl-ordering determinism (BASELINE.json:14 "matching the reference's crawl
+ordering"): the reference is sequential, so a parallel engine reproduces its
+order only if order is a **pure function of the data**. The total crawl order
+here is the tuple
+
+    (fetch_round, fetch_time, host, host_rank)
+
+where ``fetch_time = host_rank * crawl_delay`` is the *virtual* politeness
+clock (P4). Discovery order — the tie-breaker for priority and the
+first-wins rule for dedup — is the tuple
+
+    (priority=depth, discovered_round, d_time, d_host, d_rank, d_pos, url_hash)
+
+with (d_time, d_host, d_rank) = the parent's fetch-order key and d_pos = the
+link's position in the parent page. **No global row_number / dense sequence
+is ever materialized**: a dense id would need a single-partition window (or a
+driver-side zipWithIndex), which serializes at 10^10-frontier scale; a
+multi-column sort key costs nothing and is exactly as deterministic.
+
+Skew (G3): hot domains concentrate in one host partition. The *politeness*
+path (per-host window P2) must stay whole-host, but its per-row work is a
+comparison, so skew there is benign; the *fetch/parse* path is the expensive
+one and is salted — ``repartition(host_hash, salt)`` with
+``salt = pmod(xxhash64(url_canon), S)`` — safe because fetch is per-URL pure
+and happens after admission.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawlspark.config import BLOOM_FP_RATE, CrawlConfig
+from crawlspark.filters import CuckooFilter, PartitionedBloom
+from crawlspark.functions.canon import canonicalize_udf, resolve_udf, with_url_identity
+from crawlspark.functions.robots import allowed_series, path_of
+from crawlspark.sources import synthweb
+from crawlspark.storage import CrawlStorage
+
+# Discovery-order tuple: first-wins dedup and priority tie-breaking are both
+# decided by lexicographic order on these columns (see module docstring).
+DISCOVERY_ORDER = [
+    "priority",
+    "discovered_round",
+    "d_time",
+    "d_host",
+    "d_rank",
+    "d_pos",
+    "url_hash",
+]
+
+FRONTIER_COLS = [
+    "url",
+    "url_canon",
+    "url_hash",
+    "host",
+    "host_hash",
+    "depth",
+    "priority",
+    "discovered_round",
+    "d_time",
+    "d_host",
+    "d_rank",
+    "d_pos",
+    "parent_hash",
+]
+
+# mapInPandas fetch output: spans come back as parallel primitive arrays and
+# are zipped into array<struct> JVM-side (arrays_zip stays in codegen and
+# sidesteps pandas→Arrow nested-struct conversion cost).
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("host_hash", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("fetch_time", T.DoubleType()),
+        T.StructField("host_rank", T.IntegerType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("kind", T.ArrayType(T.StringType())),
+        T.StructField("text", T.ArrayType(T.StringType())),
+        T.StructField("media_ref", T.ArrayType(T.StringType())),
+        T.StructField("offset", T.ArrayType(T.IntegerType())),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+def _signed64(v: int) -> int:
+    """Two's-complement view of an unsigned 64-bit hash (numpy int64-safe)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# Per-python-worker cache of deserialized filter structures (keyed by a token
+# minted with each broadcast), so Arrow batches after the first are pure probes.
+_WORKER_CACHE: dict = {}
+
+
+_SPANS_EXPR = (
+    "transform(arrays_zip(kind, text, media_ref, offset), "
+    "s -> struct(s.kind as kind, s.text as text, "
+    "s.media_ref as media_ref, s.offset as offset))"
+)
+
+
+@dataclass
+class RoundMetrics:
+    round: int = 0
+    frontier_size: int = 0
+    fetched: int = 0
+    ok_200: int = 0
+    skipped_robots: int = 0
+    skipped_politeness: int = 0
+    skipped_banned: int = 0
+    candidates: int = 0
+    deduped: int = 0
+    new_urls: int = 0
+    extras: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, storage: CrawlStorage):
+        self.spark = spark
+        self.cfg = cfg
+        self.storage = storage
+        self.bloom = PartitionedBloom(
+            cfg.num_host_buckets, self._bloom_capacity(), BLOOM_FP_RATE
+        )
+        self.cuckoo = CuckooFilter(capacity=max(64, cfg.web_hosts * 4))
+        self.history: list[RoundMetrics] = []
+
+    def _bloom_capacity(self) -> int:
+        # Per-bucket capacity; at 10^10 scale this comes from the frontier
+        # cardinality estimate (A6, approx_count_distinct) — here a fixed
+        # sandbox size well above any fixture's per-bucket URL count.
+        return 1 << 16
+
+    # ------------------------------------------------------------ robots
+    def _robots_df(self) -> DataFrame:
+        rows = synthweb.robots_table(self.cfg)
+        schema = T.StructType(
+            [
+                T.StructField("host", T.StringType()),
+                T.StructField(
+                    "rules",
+                    T.ArrayType(
+                        T.StructType(
+                            [
+                                T.StructField("allow", T.BooleanType()),
+                                T.StructField("prefix", T.StringType()),
+                            ]
+                        )
+                    ),
+                ),
+                T.StructField("crawl_delay", T.DoubleType()),
+                T.StructField("banned", T.BooleanType()),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def _banned_hosts(self) -> list[str]:
+        return [r["host"] for r in synthweb.robots_table(self.cfg) if r["banned"]]
+
+    def _refresh_cuckoo(self, rnd: int) -> None:
+        """A4: deletable politeness bans. Hosts banned in the robots fixture
+        are inserted at bootstrap; from ``cfg.unban_round`` on they are
+        *deleted* (the operation a Bloom filter cannot do), after which their
+        URLs become eligible again. The exact ban state is
+        ``robots.banned AND rnd < unban_round``; the cuckoo filter mirrors it
+        and serves as the broadcastable executor-side prefilter."""
+        if rnd == 0:
+            for h in self._banned_hosts():
+                self.cuckoo.insert(_signed64(synthweb.stable_hash("host:" + h, self.cfg.seed)))
+        elif (
+            self.cfg.unban_round is not None
+            and rnd >= self.cfg.unban_round
+            and self.cuckoo.n_items > 0
+        ):
+            for h in self._banned_hosts():
+                self.cuckoo.delete(_signed64(synthweb.stable_hash("host:" + h, self.cfg.seed)))
+
+    def _bloom_probe_udf(self):
+        blobs = self.bloom.to_blobs()
+        bc = self.spark.sparkContext.broadcast(blobs)
+        nb, cap = self.cfg.num_host_buckets, self._bloom_capacity()
+        token = uuid.uuid4().hex  # worker-side cache key: one rebuild per
+        # executor per round, not one per Arrow batch
+
+        @F.pandas_udf("boolean")
+        def _maybe_seen(host_hash: pd.Series, url_hash: pd.Series) -> pd.Series:
+            p = _WORKER_CACHE.get(token)
+            if p is None:
+                p = PartitionedBloom.from_blobs(bc.value, nb, cap, BLOOM_FP_RATE)
+                if len(_WORKER_CACHE) > 4:
+                    _WORKER_CACHE.clear()
+                _WORKER_CACHE[token] = p
+            return pd.Series(
+                p.probe(host_hash.to_numpy(), url_hash.to_numpy()),
+                index=host_hash.index,
+            )
+
+        return _maybe_seen
+
+    def _admission_flags_udf(self):
+        """Fused A4 cuckoo ban probe + R2 robots path match: one Arrow
+        crossing per batch instead of two (SURVEY.md §4, UDF fusion)."""
+        blob = self.cuckoo.to_bytes()
+        bc = self.spark.sparkContext.broadcast(blob)
+        seed = self.cfg.seed
+
+        @F.pandas_udf("struct<maybe_banned:boolean,allowed:boolean>")
+        def _flags(
+            host: pd.Series, url_canon: pd.Series, rules: pd.Series
+        ) -> pd.DataFrame:
+            import numpy as np
+
+            f = CuckooFilter.from_bytes(bc.value)
+            keys = np.fromiter(
+                (
+                    _signed64(synthweb.stable_hash("host:" + (h or ""), seed))
+                    for h in host
+                ),
+                dtype=np.int64,
+                count=len(host),
+            )
+            banned = pd.Series(f.contains_many(keys), index=host.index)
+            paths = url_canon.map(lambda u: path_of(u) if u else "/")
+            return pd.DataFrame(
+                {"maybe_banned": banned, "allowed": allowed_series(paths, rules)}
+            )
+
+        return _flags
+
+    # --------------------------------------------------------- bootstrap
+    def bootstrap(self, seeds: list[str]) -> None:
+        """Round 0: seed list → canonical dedup'd frontier + seen + filters."""
+        cfg = self.cfg
+        seeds_df = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seed_pos int"
+        )
+        canon = canonicalize_udf()
+        fr = (
+            seeds_df.withColumn("url_canon", canon("url"))
+            .filter(F.col("url_canon").isNotNull())
+        )
+        fr = with_url_identity(fr, num_buckets=cfg.num_host_buckets)
+        fr = (
+            fr.withColumn("depth", F.lit(0))
+            .withColumn("priority", F.lit(0.0))
+            .withColumn("discovered_round", F.lit(0))
+            .withColumn("d_time", F.lit(0.0))
+            .withColumn("d_host", F.lit(""))
+            .withColumn("d_rank", F.col("seed_pos"))
+            .withColumn("d_pos", F.lit(0))
+            .withColumn("parent_hash", F.lit(None).cast("long"))
+        )
+        # A1 first-wins dedup on the discovery-order tuple
+        w = Window.partitionBy("url_hash").orderBy(*DISCOVERY_ORDER)
+        fr = (
+            fr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*FRONTIER_COLS)
+        )
+        self.storage.write_round("frontier", fr, 0)
+        seen0 = self.storage.read_round("frontier", 0).select(
+            "url_hash", "url_canon", "host_hash", F.lit(0).alias("first_round")
+        )
+        self.storage.write_round("seen", seen0, 0)
+        # A5: Bloom sidecar from round-0 seen
+        self._fold_into_bloom(self.storage.read_round("seen", 0))
+        self._refresh_cuckoo(0)
+        self.storage.save_filters(0, self.bloom.to_blobs(), self.cuckoo.to_bytes())
+        n = self.storage.read_round("frontier", 0).count()
+        self.storage.commit_manifest(
+            0, {"phase": "bootstrap", "frontier_size": n, "totals": {"seen": n}}
+        )
+
+    def _fold_into_bloom(self, seen_rows: DataFrame) -> None:
+        """A5: build per-host-hash-bucket Bloom blobs distributed
+        (applyInPandas), collect the ≤num_buckets small blobs, OR-merge into
+        the driver's cumulative partitioned filter."""
+        cap, fp = self._bloom_capacity(), BLOOM_FP_RATE
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            from crawlspark.filters import BloomFilter
+
+            f = BloomFilter(cap, fp)
+            f.add_many(pdf["url_hash"].to_numpy())
+            return pd.DataFrame(
+                {"host_hash": [int(pdf["host_hash"].iloc[0])], "blob": [f.to_bytes()]}
+            )
+
+        blobs = (
+            seen_rows.select("host_hash", "url_hash")
+            .groupBy("host_hash")
+            .applyInPandas(build, "host_hash int, blob binary")
+            .collect()
+        )
+        from crawlspark.filters import BloomFilter
+
+        for row in blobs:
+            part = BloomFilter.from_bytes(bytes(row["blob"]))
+            cur = self.bloom.filters.get(row["host_hash"])
+            if cur is None:
+                self.bloom.filters[row["host_hash"]] = part
+            else:
+                cur.union_update(part)
+
+    # ------------------------------------------------------------- round
+    def run_round(self, rnd: int) -> RoundMetrics:
+        """Consume frontier snapshot rnd-1, commit round rnd."""
+        cfg, sp = self.cfg, self.spark
+        m = RoundMetrics(round=rnd)
+        frontier = self.storage.read_round("frontier", rnd - 1).select(*FRONTIER_COLS)
+
+        self._refresh_cuckoo(rnd)  # unban (cuckoo delete) takes effect here
+        robots = self._robots_df()
+        fr = frontier.join(F.broadcast(robots), "host", "left")
+        fr = fr.withColumn("crawl_delay", F.coalesce("crawl_delay", F.lit(1.0)))
+
+        # A4 cuckoo ban prefilter + R2 robots path match, fused into one
+        # Arrow crossing. The exact ban state (robots.banned AND the unban
+        # clock) backstops the cuckoo, so a false positive never bans.
+        bans_active = cfg.unban_round is None or rnd < cfg.unban_round
+        fr = fr.withColumn(
+            "_flags", self._admission_flags_udf()("host", "url_canon", "rules")
+        )
+        fr = (
+            fr.withColumn(
+                "is_banned",
+                F.col("_flags.maybe_banned")
+                & F.coalesce("banned", F.lit(False))
+                & F.lit(bans_active),
+            )
+            .withColumn(
+                "is_allowed", F.coalesce(F.col("_flags.allowed"), F.lit(True))
+            )
+            .drop("_flags")
+            .persist()
+        )
+        # one-pass stats (single job instead of three filter().count() jobs)
+        st = fr.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_banned").cast("long")).alias("banned"),
+            F.sum((~F.col("is_banned") & ~F.col("is_allowed")).cast("long")).alias(
+                "disallowed"
+            ),
+        ).first()
+        m.frontier_size = st["n"]
+        m.skipped_banned = int(st["banned"] or 0)
+        m.skipped_robots = int(st["disallowed"] or 0)
+
+        # Banned rows: deferred (stay in frontier) when an unban is coming,
+        # dropped permanently when the ban is forever (else no exhaustion).
+        banned_rows = fr.filter(F.col("is_banned"))
+        banned_deferred = (
+            banned_rows if cfg.unban_round is not None else banned_rows.limit(0)
+        )
+        disallowed = fr.filter(~F.col("is_banned") & ~F.col("is_allowed"))
+        eligible = fr.filter(~F.col("is_banned") & F.col("is_allowed"))
+
+        # P2–P4: per-host ranking, budget admission, virtual fetch clock
+        w = Window.partitionBy("host").orderBy(*DISCOVERY_ORDER)
+        ranked = eligible.withColumn("host_rank", F.row_number().over(w))
+        budget = F.greatest(
+            F.lit(1), F.floor(F.lit(cfg.round_seconds) / F.col("crawl_delay"))
+        )
+        ranked = ranked.withColumn("host_budget", budget).persist()
+        admitted = ranked.filter(F.col("host_rank") <= F.col("host_budget"))
+        deferred = ranked.filter(F.col("host_rank") > F.col("host_budget"))
+        admitted = admitted.withColumn(
+            "fetch_time", F.col("host_rank") * F.col("crawl_delay")
+        )
+
+        # G3 salted repartition → F1/F2 fetch+parse (mapInPandas)
+        salt_n = max(4, cfg.shuffle_partitions // 4)
+        admitted = admitted.withColumn(
+            "salt", F.pmod(F.xxhash64("url_canon"), F.lit(salt_n))
+        ).repartition(cfg.shuffle_partitions, "host_hash", "salt")
+        fetched = admitted.mapInPandas(
+            _make_fetcher(cfg), FETCH_SCHEMA
+        ).persist()
+
+        # S3 documents append (contract schema + bookkeeping)
+        docs = (
+            fetched.withColumn("spans", F.expr(_SPANS_EXPR))
+            .withColumn("content_sha2", F.sha2(F.to_json(F.col("spans")), 256))
+            .select(
+                F.col("url_canon").alias("doc_id"),
+                "spans",
+                "url_hash",
+                "host",
+                "host_hash",
+                "depth",
+                "fetch_time",
+                "host_rank",
+                "status",
+                "content_sha2",
+            )
+        )
+        self.storage.write_round("documents", docs, rnd)
+
+        # F3 link extraction → S4 edges append
+        edges = (
+            fetched.filter(F.col("status") == 200)
+            .select(
+                F.col("url_canon").alias("src_canon"),
+                F.col("url_hash").alias("src_hash"),
+                F.col("host").alias("p_host"),
+                F.col("fetch_time").alias("p_time"),
+                F.col("host_rank").alias("p_rank"),
+                F.col("depth").alias("p_depth"),
+                F.posexplode("links").alias("pos", "href"),
+            )
+            .withColumn("dst_canon", resolve_udf()(F.col("src_canon"), F.col("href")))
+            .filter(F.col("dst_canon").isNotNull())
+        )
+        edges = with_url_identity(
+            edges.withColumnRenamed("dst_canon", "url_canon"),
+            num_buckets=cfg.num_host_buckets,
+        ).persist()
+        self.storage.write_round(
+            "edges",
+            edges.select(
+                "src_hash",
+                F.col("href").alias("dst_url"),
+                F.col("url_canon").alias("dst_canon"),
+                F.col("url_hash").alias("dst_hash"),
+                "pos",
+            ),
+            rnd,
+        )
+
+        # U1/U2: candidate frontier rows with lineage
+        cand = (
+            edges.filter(F.col("p_depth") + 1 <= cfg.max_depth)
+            .select(
+                F.col("href").alias("url"),
+                "url_canon",
+                "url_hash",
+                "host",
+                "host_hash",
+                (F.col("p_depth") + 1).alias("depth"),
+                (F.col("p_depth") + 1).cast("double").alias("priority"),
+                F.lit(rnd).alias("discovered_round"),
+                F.col("p_time").alias("d_time"),
+                F.col("p_host").alias("d_host"),
+                F.col("p_rank").alias("d_rank"),
+                F.col("pos").alias("d_pos"),
+                F.col("src_hash").alias("parent_hash"),
+            )
+        )
+        # A1 intra-round first-wins dedup
+        wdup = Window.partitionBy("url_hash").orderBy(*DISCOVERY_ORDER)
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(wdup))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
+        m.candidates = edges.filter(F.col("p_depth") + 1 <= cfg.max_depth).count()
+
+        # A3 Bloom prefilter → A2 exact anti-join backstop
+        cand = cand.withColumn(
+            "maybe_seen", self._bloom_probe_udf()(F.col("host_hash"), F.col("url_hash"))
+        )
+        definitely_new = cand.filter(~F.col("maybe_seen"))
+        maybe = cand.filter(F.col("maybe_seen"))
+        seen = self.storage.read_table("seen", upto_round=rnd - 1).select(
+            "host_hash", "url_hash"
+        )
+        confirmed_new = maybe.join(seen, ["host_hash", "url_hash"], "left_anti")
+        new = definitely_new.unionByName(confirmed_new).select(*FRONTIER_COLS).persist()
+
+        # S5 seen append + A5 sidecar fold
+        seen_add = new.select(
+            "url_hash", "url_canon", "host_hash",
+            F.lit(rnd).alias("first_round"),
+        )
+        self.storage.write_round("seen", seen_add, rnd)
+        self._fold_into_bloom(self.storage.read_round("seen", rnd))
+
+        # U1: next frontier snapshot = deferred ∪ banned-deferred ∪ new
+        next_frontier = (
+            deferred.select(*FRONTIER_COLS)
+            .unionByName(banned_deferred.select(*FRONTIER_COLS))
+            .unionByName(new.select(*FRONTIER_COLS))
+        )
+        self.storage.write_round("frontier", next_frontier, rnd)
+
+        # G1 metrics (per host-hash bucket = per partition lineage)
+        fst = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+        ).first()
+        m.fetched = fst["n"]
+        m.ok_200 = int(fst["ok"] or 0)
+        m.skipped_politeness = int(
+            ranked.agg(
+                F.sum((F.col("host_rank") > F.col("host_budget")).cast("long"))
+            ).first()[0]
+            or 0
+        )
+        m.new_urls = new.count()
+        m.deduped = m.candidates - m.new_urls
+        metrics_df = self._metrics_df(rnd, fetched, disallowed, deferred, new)
+        self.storage.write_round("metrics", metrics_df, rnd, cluster_by=None,
+                                 num_files=1)
+
+        self.storage.save_filters(rnd, self.bloom.to_blobs(), self.cuckoo.to_bytes())
+        # next snapshot size is already known arithmetically — no read-back job
+        next_size = m.skipped_politeness + m.new_urls + (
+            m.skipped_banned if cfg.unban_round is not None else 0
+        )
+        prev = self.storage.manifest(rnd - 1) or {}
+        totals = dict(prev.get("totals", {}))
+        totals["seen"] = totals.get("seen", 0) + m.new_urls
+        totals["fetched"] = totals.get("fetched", 0) + m.fetched
+        self.storage.commit_manifest(
+            rnd,
+            {
+                "frontier_size": m.frontier_size,
+                "next_frontier_size": next_size,
+                "fetched": m.fetched,
+                "ok_200": m.ok_200,
+                "skipped_robots": m.skipped_robots,
+                "skipped_politeness": m.skipped_politeness,
+                "skipped_banned": m.skipped_banned,
+                "candidates": m.candidates,
+                "deduped": m.deduped,
+                "new_urls": m.new_urls,
+                "totals": totals,
+            },
+        )
+        m.extras["next_frontier_size"] = next_size
+        for df in (fr, ranked, fetched, edges, cand, new):
+            df.unpersist()
+        self.history.append(m)
+        return m
+
+    def _metrics_df(self, rnd, fetched, disallowed, deferred, new) -> DataFrame:
+        """S7: per-partition (host-hash bucket) lineage counters. One union +
+        one shuffle (grouped conditional sums), not N outer joins."""
+        def tag(df, name):
+            return df.select("host_hash", F.lit(name).alias("k"))
+
+        u = (
+            tag(fetched, "fetched")
+            .unionByName(tag(disallowed, "skipped_robots"))
+            .unionByName(tag(deferred, "skipped_politeness"))
+            .unionByName(tag(new, "new_urls"))
+        )
+        return (
+            u.groupBy("host_hash")
+            .agg(
+                *[
+                    F.sum((F.col("k") == n).cast("long")).alias(n)
+                    for n in ("fetched", "skipped_robots",
+                              "skipped_politeness", "new_urls")
+                ]
+            )
+            .withColumn("input_snapshot", F.lit(f"frontier/round={rnd-1:05d}"))
+        )
+
+    # --------------------------------------------------------------- run
+    def run(self, seeds: list[str] | None = None) -> dict:
+        """Full crawl to frontier exhaustion (or max_rounds), resumable: if a
+        manifest exists, continue from the round after the latest commit."""
+        latest = self.storage.latest_manifest()
+        if latest is None:
+            if seeds is None:
+                seeds = synthweb.seed_list(self.cfg)
+            self.bootstrap(seeds)
+            start = 1
+        else:
+            start = latest["round"] + 1
+            blobs = self.storage.load_filters(latest["round"])
+            self.bloom = PartitionedBloom.from_blobs(
+                blobs["bloom"],
+                self.cfg.num_host_buckets,
+                self._bloom_capacity(),
+                BLOOM_FP_RATE,
+            )
+            self.cuckoo = CuckooFilter.from_bytes(blobs["cuckoo"])
+
+        rounds_run = 0
+        last = start - 1
+        for rnd in range(start, self.cfg.max_rounds + 1):
+            prev = self.storage.manifest(rnd - 1)
+            size = prev.get("next_frontier_size", prev.get("frontier_size", 0))
+            if size == 0:
+                break
+            m = self.run_round(rnd)
+            rounds_run += 1
+            last = rnd
+            if m.extras["next_frontier_size"] == 0:
+                break
+        final = self.storage.manifest(last) or {}
+        return {
+            "rounds": last,
+            "rounds_run_this_session": rounds_run,
+            "totals": final.get("totals", {}),
+            "exhausted": (final.get("next_frontier_size", final.get("frontier_size", 1)) == 0),
+        }
+
+
+def _make_fetcher(cfg: CrawlConfig):
+    """F1/F2: iterator-of-batches fetch+parse. The synthetic web is the
+    sandbox 'network' (no real HTTP here — SURVEY.md §0.3); on a real cluster
+    this same shape holds one HTTP session per partition and the politeness
+    spacing is already guaranteed by admission (P3/P4)."""
+
+    def fetch_batches(batches):
+        for pdf in batches:
+            statuses, kinds, texts, refs, offs, links = [], [], [], [], [], []
+            for u in pdf["url_canon"]:
+                status, spans, lnks = synthweb.page(u, cfg)
+                statuses.append(status)
+                kinds.append([s["kind"] for s in spans])
+                texts.append([s["text"] for s in spans])
+                refs.append([s["media_ref"] for s in spans])
+                offs.append([s["offset"] for s in spans])
+                links.append(lnks)
+            yield pd.DataFrame(
+                {
+                    "url_canon": pdf["url_canon"].values,
+                    "url_hash": pdf["url_hash"].values,
+                    "host": pdf["host"].values,
+                    "host_hash": pdf["host_hash"].values,
+                    "depth": pdf["depth"].values,
+                    "fetch_time": pdf["fetch_time"].values,
+                    "host_rank": pdf["host_rank"].values,
+                    "status": statuses,
+                    "kind": kinds,
+                    "text": texts,
+                    "media_ref": refs,
+                    "offset": offs,
+                    "links": links,
+                }
+            )
+
+    return fetch_batches

@@ -1,0 +1,92 @@
+"""End-to-end engine smoke: small synthetic web, full crawl to exhaustion,
+structural invariants (SURVEY.md §7 step 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import CrawlEngine
+from crawlspark.sources import synthweb
+from crawlspark.storage import CrawlStorage
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    cfg = CrawlConfig(max_depth=2, max_rounds=10, web_hosts=6, shuffle_partitions=8)
+    root = tmp_path_factory.mktemp("crawl")
+    storage = CrawlStorage(spark, root)
+    engine = CrawlEngine(spark, cfg, storage)
+    seeds = synthweb.seed_list(cfg, n=20)
+    summary = engine.run(seeds)
+    return cfg, storage, engine, summary
+
+
+def test_crawl_exhausts(crawl):
+    _, _, _, summary = crawl
+    assert summary["exhausted"]
+    assert summary["rounds"] >= 2
+    assert summary["totals"]["fetched"] > 0
+
+
+def test_documents_schema_and_spans(crawl, spark):
+    _, storage, _, _ = crawl
+    docs = storage.read_table("documents")
+    assert docs.count() > 0
+    # contract schema (BASELINE.json:15): spans array<struct<kind,text,media_ref,offset>>
+    span_type = docs.schema["spans"].dataType.elementType
+    assert [f.name for f in span_type.fields] == ["kind", "text", "media_ref", "offset"]
+    # offsets are 0..n-1 in order for every 200 doc
+    bad = docs.filter(F.col("status") == 200).filter(
+        ~F.expr(
+            "forall(transform(spans, (s,i) -> s.offset = i), x -> x)"
+        )
+    )
+    assert bad.count() == 0
+    # every 200 document has >=1 text and >=1 media span
+    no_media = docs.filter(F.col("status") == 200).filter(
+        F.expr("size(filter(spans, s -> s.kind = 'media')) = 0")
+    )
+    assert no_media.count() == 0
+
+
+def test_seen_set_unique_and_consistent(crawl):
+    _, storage, _, _ = crawl
+    seen = storage.read_table("seen")
+    assert seen.count() == seen.select("url_hash").distinct().count()
+    # every fetched doc is in seen
+    docs = storage.read_table("documents")
+    missing = docs.join(seen, "url_hash", "left_anti")
+    assert missing.count() == 0
+
+
+def test_no_url_fetched_twice(crawl):
+    _, storage, _, _ = crawl
+    docs = storage.read_table("documents")
+    assert docs.count() == docs.select("url_hash").distinct().count()
+
+
+def test_politeness_budget_respected(crawl, spark):
+    cfg, storage, _, _ = crawl
+    docs = storage.read_table("documents")
+    robots = {r["host"]: r for r in synthweb.robots_table(cfg)}
+    per = docs.groupBy("round", "host").count().collect()
+    for row in per:
+        delay = robots.get(row["host"], {"crawl_delay": 1.0})["crawl_delay"]
+        budget = max(1, int(cfg.round_seconds // delay))
+        assert row["count"] <= budget, (row, budget)
+
+
+def test_banned_hosts_never_fetched(crawl):
+    cfg, storage, _, _ = crawl
+    banned = [r["host"] for r in synthweb.robots_table(cfg) if r["banned"]]
+    docs = storage.read_table("documents")
+    if banned:
+        assert docs.filter(F.col("host").isin(banned)).count() == 0
+
+
+def test_metrics_totals_match_tables(crawl):
+    _, storage, _, summary = crawl
+    docs_n = storage.read_table("documents").count()
+    assert summary["totals"]["fetched"] == docs_n

@@ -1,0 +1,81 @@
+"""SURVEY.md §5 layer 1: Bloom (zero false negatives, FP ≤ bound),
+cuckoo (delete-then-lookup), round-trip serialization."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from crawlspark.filters import BloomFilter, CuckooFilter, PartitionedBloom
+
+
+def _keys(n, seed=0):
+    return np.random.default_rng(seed).integers(-(2**62), 2**62, size=n)
+
+
+def test_bloom_no_false_negatives():
+    f = BloomFilter(capacity=10_000, fp_rate=0.01)
+    added = _keys(10_000, 1)
+    f.add_many(added)
+    assert f.contains_many(added).all()
+
+
+def test_bloom_fp_rate_bounded():
+    f = BloomFilter(capacity=10_000, fp_rate=0.01)
+    f.add_many(_keys(10_000, 1))
+    probe = _keys(50_000, 2)
+    fp = f.contains_many(probe).mean()
+    assert fp < 0.03, f"false-positive rate {fp:.4f} exceeds 3x target"
+
+
+def test_bloom_roundtrip_and_union():
+    a = BloomFilter(capacity=1000, fp_rate=0.01)
+    b = BloomFilter(capacity=1000, fp_rate=0.01)
+    b.n_bits, b.k = a.n_bits, a.k  # same shape by construction
+    ka, kb = _keys(500, 3), _keys(500, 4)
+    a.add_many(ka)
+    b.add_many(kb)
+    a.union_update(b)
+    restored = BloomFilter.from_bytes(a.to_bytes())
+    assert restored.contains_many(ka).all()
+    assert restored.contains_many(kb).all()
+    assert restored.n_items == 1000
+
+
+def test_partitioned_bloom_probe_routing():
+    p = PartitionedBloom(num_buckets=8, capacity_per_bucket=1000, fp_rate=0.01)
+    keys = _keys(4000, 5)
+    buckets = np.abs(keys) % 8
+    p.add(buckets, keys)
+    assert p.probe(buckets, keys).all()
+    # same key probed in the WRONG bucket must usually miss (routing matters)
+    wrong = (buckets + 1) % 8
+    assert p.probe(wrong, keys).mean() < 0.05
+    # blob round-trip
+    p2 = PartitionedBloom.from_blobs(p.to_blobs(), 8, 1000, 0.01)
+    assert p2.probe(buckets, keys).all()
+
+
+def test_cuckoo_insert_lookup_delete():
+    f = CuckooFilter(capacity=5000)
+    keys = _keys(4000, 6)
+    for k in keys:
+        assert f.insert(int(k))
+    assert f.contains_many(keys).all()
+    # delete half, they must disappear; the rest must remain
+    for k in keys[:2000]:
+        assert f.delete(int(k))
+    assert not f.contains_many(keys[:2000]).any() or (
+        f.contains_many(keys[:2000]).mean() < 0.02  # residual FPs allowed
+    )
+    assert f.contains_many(keys[2000:]).all()
+
+
+def test_cuckoo_fp_rate_and_roundtrip():
+    f = CuckooFilter(capacity=5000)
+    keys = _keys(4000, 7)
+    for k in keys:
+        f.insert(int(k))
+    probe = _keys(50_000, 8)
+    assert f.contains_many(probe).mean() < 0.01
+    g = CuckooFilter.from_bytes(f.to_bytes())
+    assert g.contains_many(keys).all()

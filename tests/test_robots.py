@@ -1,0 +1,83 @@
+"""SURVEY.md §5 layer 1: robots matcher vs urllib.robotparser on generated
+rule sets, plus longest-prefix golden cases."""
+
+from __future__ import annotations
+
+import urllib.robotparser
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from crawlspark.functions.robots import allowed, allowed_series, path_of
+
+
+def test_golden_longest_prefix():
+    rules = [
+        {"allow": True, "prefix": "/"},
+        {"allow": False, "prefix": "/private"},
+        {"allow": True, "prefix": "/private/ok"},
+    ]
+    assert allowed("/index", rules)
+    assert not allowed("/private/x", rules)
+    assert allowed("/private/ok/y", rules)  # longer Allow overrides Disallow
+    assert allowed("/anything", None)
+    assert allowed("/anything", [])
+
+
+def test_tie_prefers_allow():
+    rules = [
+        {"allow": False, "prefix": "/a"},
+        {"allow": True, "prefix": "/a"},
+    ]
+    assert allowed("/a/x", rules)
+
+
+def test_path_of():
+    assert path_of("http://h.example/a/b?q=1") == "/a/b?q=1"
+    assert path_of("http://h.example") == "/"
+
+
+_SEGMENTS = st.lists(
+    st.sampled_from(["a", "b", "private", "data", "x1"]), min_size=1, max_size=3
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rule_specs=st.lists(
+        st.tuples(st.booleans(), _SEGMENTS), min_size=0, max_size=5
+    ),
+    path_segs=_SEGMENTS,
+)
+def test_matches_urllib_robotparser(rule_specs, path_segs):
+    """Property: our longest-prefix matcher agrees with the stdlib parser on
+    prefix-only rule sets (no wildcards).  robotparser implements RFC 9309
+    longest-match, the same [typical] semantics SURVEY.md §2.5 adopts."""
+    # stdlib robotparser is FIRST-match in file order (pre-RFC-9309); feeding
+    # it rules longest-first with Allow before Disallow on ties makes its
+    # first-match equal RFC 9309 longest-match — which is what we implement.
+    rules = []
+    for allow_flag, segs in rule_specs:
+        prefix = "/" + "/".join(segs)
+        rules.append({"allow": allow_flag, "prefix": prefix})
+    lines = ["User-agent: *"] + [
+        ("Allow: " if r["allow"] else "Disallow: ") + r["prefix"]
+        for r in sorted(rules, key=lambda r: (-len(r["prefix"]), not r["allow"]))
+    ]
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(lines)
+    path = "/" + "/".join(path_segs)
+    assert allowed(path, rules) == rp.can_fetch("*", "http://h.example" + path)
+
+
+def test_allowed_series_matches_scalar():
+    rules_a = [{"allow": True, "prefix": "/"}]
+    rules_b = [
+        {"allow": True, "prefix": "/"},
+        {"allow": False, "prefix": "/private"},
+    ]
+    paths = pd.Series(["/x", "/private/1", "/private", "/pub"])
+    rules = pd.Series([rules_a, rules_b, rules_b, rules_b])
+    got = allowed_series(paths, rules)
+    assert got.tolist() == [True, False, False, True]
