@@ -23,3 +23,20 @@ def spark():
     )
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def crawl_run(spark, tmp_path_factory):
+    """One full engine crawl shared by the smoke and oracle-equality suites:
+    6-host depth-2 synthetic web, 20 seeds with canonicalization traps."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(max_depth=2, max_rounds=12, web_hosts=6, shuffle_partitions=4)
+    storage = CrawlStorage(spark, tmp_path_factory.mktemp("crawl"))
+    engine = CrawlEngine(spark, cfg, storage)
+    seeds = synthweb.seed_list(cfg, n=20)
+    summary = engine.run(seeds)
+    return cfg, storage, engine, summary, seeds

@@ -1,0 +1,184 @@
+"""Sequential oracle crawler (SURVEY.md §5 layer 3).
+
+A single-threaded, pure-Python crawler implementing exactly the SURVEY.md §2
+semantics over the same synthetic web. It is the stand-in for the absent
+reference (`/root/reference` was empty — SURVEY.md §0): correctness of the
+Spark engine is judged as equality against this oracle under the same seed
+list + politeness budget (BASELINE.json:14):
+
+  (a) final URL-seen set equality,
+  (b) crawl-ordering equality (round, fetch_time, host, host_rank),
+  (c) span-sequence equality per document (kind, text, media_ref, order).
+
+It shares `canonicalize_url`, `page`, `robots_table`, and `allowed` with the
+engine — URL identity and page content are ONE function each, so equality
+tests exercise the engine's distributed plumbing (canonicalization UDFs,
+windows, anti-joins, Arrow batching), not the fixtures.
+
+No Spark / JVM imports anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from urllib.parse import urljoin
+
+from crawlspark.config import CrawlConfig
+from crawlspark.functions.canon import canonicalize_url, host_of
+from crawlspark.functions.robots import allowed, path_of
+from crawlspark.sources.synthweb import page, robots_table
+
+
+@dataclass
+class OracleDoc:
+    round: int
+    url_canon: str
+    host: str
+    host_rank: int
+    fetch_time: float
+    status: int
+    spans: list
+
+
+@dataclass
+class OracleResult:
+    docs: list = field(default_factory=list)  # in exact crawl order
+    seen: set = field(default_factory=set)
+    rounds: int = 0
+    per_round: list = field(default_factory=list)  # dict of counters
+
+    @property
+    def crawl_order(self) -> list[tuple[int, str]]:
+        return [(d.round, d.url_canon) for d in self.docs]
+
+
+@dataclass
+class _Entry:
+    url_canon: str
+    host: str
+    depth: int
+    discovered_round: int
+    d_time: float
+    d_host: str
+    d_rank: int
+    d_pos: int
+
+    @property
+    def order_key(self):
+        # mirrors engine.DISCOVERY_ORDER (url_hash tiebreak never needed:
+        # the discovery tuple is unique per URL — see engine docstring)
+        return (
+            float(self.depth),
+            self.discovered_round,
+            self.d_time,
+            self.d_host,
+            self.d_rank,
+            self.d_pos,
+        )
+
+
+def crawl(cfg: CrawlConfig, seeds: list[str]) -> OracleResult:
+    res = OracleResult()
+    robots = {r["host"]: r for r in robots_table(cfg)}
+
+    # --- bootstrap (round 0): canonicalize, first-wins dedup by seed order
+    frontier: list[_Entry] = []
+    for i, u in enumerate(seeds):
+        c = canonicalize_url(u)
+        if c is None or c in res.seen:
+            continue
+        res.seen.add(c)
+        frontier.append(_Entry(c, host_of(c), 0, 0, 0.0, "", i, 0))
+
+    for rnd in range(1, cfg.max_rounds + 1):
+        if not frontier:
+            break
+        m = {
+            "round": rnd,
+            "frontier_size": len(frontier),
+            "fetched": 0,
+            "ok_200": 0,
+            "skipped_robots": 0,
+            "skipped_politeness": 0,
+            "skipped_banned": 0,
+            "candidates": 0,
+            "deduped": 0,
+            "new_urls": 0,
+        }
+        bans_active = cfg.unban_round is None or rnd < cfg.unban_round
+
+        eligible: list[_Entry] = []
+        banned_deferred: list[_Entry] = []
+        for e in frontier:
+            r = robots.get(e.host)
+            if r is not None and r["banned"] and bans_active:
+                m["skipped_banned"] += 1
+                if cfg.unban_round is not None:
+                    banned_deferred.append(e)
+                continue
+            rules = r["rules"] if r is not None else None
+            if not allowed(path_of(e.url_canon), rules):
+                m["skipped_robots"] += 1
+                continue
+            eligible.append(e)
+
+        # P2: per-host ranking by discovery order; P3: crawl-delay budget
+        by_host: dict[str, list[_Entry]] = {}
+        for e in eligible:
+            by_host.setdefault(e.host, []).append(e)
+        admitted: list[tuple[float, str, int, _Entry]] = []
+        deferred: list[_Entry] = []
+        for host, entries in by_host.items():
+            entries.sort(key=lambda e: e.order_key)
+            r = robots.get(host)
+            delay = r["crawl_delay"] if r is not None else 1.0
+            budget = max(1, int(cfg.round_seconds // delay))
+            for rank, e in enumerate(entries, start=1):
+                if rank <= budget:
+                    admitted.append((rank * delay, host, rank, e))
+                else:
+                    deferred.append(e)
+                    m["skipped_politeness"] += 1
+
+        # P4: total crawl order = (fetch_time, host, host_rank)
+        admitted.sort(key=lambda t: (t[0], t[1], t[2]))
+
+        candidates: list[_Entry] = []
+        for fetch_time, host, rank, e in admitted:
+            status, spans, links = page(e.url_canon, cfg)
+            m["fetched"] += 1
+            res.docs.append(
+                OracleDoc(rnd, e.url_canon, host, rank, fetch_time, status, spans)
+            )
+            if status != 200:
+                continue
+            m["ok_200"] += 1
+            for pos, href in enumerate(links):
+                child = canonicalize_url(urljoin(e.url_canon, href))
+                if child is None:
+                    continue
+                depth = e.depth + 1
+                if depth > cfg.max_depth:
+                    continue
+                m["candidates"] += 1
+                candidates.append(
+                    _Entry(child, host_of(child), depth, rnd, fetch_time, host, rank, pos)
+                )
+
+        # A1 first-wins intra-round dedup + A2 seen filter (exact)
+        candidates.sort(key=lambda e: e.order_key)
+        new: list[_Entry] = []
+        for c in candidates:
+            if c.url_canon in res.seen:
+                m["deduped"] += 1
+                continue
+            res.seen.add(c.url_canon)
+            new.append(c)
+        m["new_urls"] = len(new)
+
+        frontier = deferred + banned_deferred + new
+        res.per_round.append(m)
+        res.rounds = rnd
+        if not frontier:
+            break
+    return res

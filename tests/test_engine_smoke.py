@@ -13,13 +13,8 @@ from crawlspark.storage import CrawlStorage
 
 
 @pytest.fixture(scope="module")
-def crawl(spark, tmp_path_factory):
-    cfg = CrawlConfig(max_depth=2, max_rounds=10, web_hosts=6, shuffle_partitions=8)
-    root = tmp_path_factory.mktemp("crawl")
-    storage = CrawlStorage(spark, root)
-    engine = CrawlEngine(spark, cfg, storage)
-    seeds = synthweb.seed_list(cfg, n=20)
-    summary = engine.run(seeds)
+def crawl(crawl_run):
+    cfg, storage, engine, summary, _seeds = crawl_run
     return cfg, storage, engine, summary
 
 

@@ -1,0 +1,106 @@
+"""SURVEY.md §5 layers 4-5: resume-exactness after a mid-crawl kill, and
+hot-domain skew + deletable-ban configs judged against the oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import oracle_crawler
+from crawlspark.config import CrawlConfig
+from crawlspark.engine import CrawlEngine
+from crawlspark.sources import synthweb
+from crawlspark.storage import CrawlStorage
+
+
+def _engine_state(storage):
+    seen = {
+        r["url_canon"] for r in storage.read_table("seen").select("url_canon").collect()
+    }
+    docs = (
+        storage.read_table("documents")
+        .select("round", "fetch_time", "host", "host_rank", "doc_id")
+        .orderBy("round", "fetch_time", "host", "host_rank")
+        .collect()
+    )
+    return seen, [(r["round"], r["doc_id"]) for r in docs]
+
+
+def _assert_matches_oracle(storage, summary, cfg, seeds):
+    res = oracle_crawler.crawl(cfg, seeds)
+    seen, order = _engine_state(storage)
+    assert seen == res.seen
+    assert order == res.crawl_order
+    assert summary["rounds"] == res.rounds
+
+
+def test_resume_exactness(spark, tmp_path):
+    """Kill after round 2, resume with a fresh engine from the manifest —
+    final tables must equal an uninterrupted run bit-for-bit
+    (BASELINE.json:6,14 'resumes exactly')."""
+    cfg = CrawlConfig(max_depth=2, max_rounds=12, web_hosts=5, shuffle_partitions=4)
+    seeds = synthweb.seed_list(cfg, n=15)
+
+    full_store = CrawlStorage(spark, tmp_path / "full")
+    full_sum = CrawlEngine(spark, cfg, full_store).run(seeds)
+
+    part_store = CrawlStorage(spark, tmp_path / "part")
+    eng = CrawlEngine(spark, cfg, part_store)
+    eng.bootstrap(seeds)
+    eng.run_round(1)
+    eng.run_round(2)
+    # "crash": new engine + storage objects; state only from disk
+    resumed_sum = CrawlEngine(
+        spark, cfg, CrawlStorage(spark, tmp_path / "part")
+    ).run()
+
+    assert _engine_state(full_store) == _engine_state(
+        CrawlStorage(spark, tmp_path / "part")
+    )
+    assert resumed_sum["rounds"] == full_sum["rounds"]
+    assert resumed_sum["totals"] == full_sum["totals"]
+    # resumed run skipped the already-committed rounds
+    assert resumed_sum["rounds_run_this_session"] == full_sum["rounds"] - 2
+    _assert_matches_oracle(full_store, full_sum, cfg, seeds)
+
+
+def test_hot_domain_skew_equality(spark, tmp_path):
+    """G3 salting is a physical change only: with ~50% of links hitting one
+    host, results must still match the oracle exactly."""
+    cfg = CrawlConfig(
+        max_depth=2,
+        max_rounds=12,
+        web_hosts=6,
+        hot_host="host00.example",
+        shuffle_partitions=4,
+    )
+    seeds = synthweb.seed_list(cfg, n=15)
+    store = CrawlStorage(spark, tmp_path / "skew")
+    summary = CrawlEngine(spark, cfg, store).run(seeds)
+    _assert_matches_oracle(store, summary, cfg, seeds)
+    # the skew is real: hot host dominates discovered URLs
+    per_host = (
+        store.read_table("seen")
+        .withColumn("host", F.parse_url("url_canon", F.lit("HOST")))
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    counts = {r["host"]: r["count"] for r in per_host}
+    assert counts.get("host00.example", 0) >= 0.3 * sum(counts.values())
+
+
+def test_deletable_ban_equality(spark, tmp_path):
+    """A4 cuckoo path: host banned until unban_round, then crawled; engine
+    must match the oracle on ordering, seen set and rounds."""
+    cfg = CrawlConfig(
+        max_depth=1,
+        max_rounds=10,
+        web_hosts=42,  # smallest fixture with a banned host (host41.example)
+        unban_round=3,
+        shuffle_partitions=4,
+    )
+    seeds = synthweb.seed_list(cfg, n=42)
+    store = CrawlStorage(spark, tmp_path / "ban")
+    summary = CrawlEngine(spark, cfg, store).run(seeds)
+    _assert_matches_oracle(store, summary, cfg, seeds)
