@@ -1,38 +1,496 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: one crawl round (canonicalize → dedup → robots →
+politeness admission → synthetic fetch → interleaved spans) over a frontier
+derived from the sf0.001 ``documents`` table.
+
+``queries()`` / ``oracle_sql()`` — operator corpus from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis /
+multimodal), each checked against DuckDB at sf0.01 by the driver
+(row-count + schema + order-insensitive value-hash). Entries without an
+oracle_sql are genuinely non-SQL-expressible (hash-algorithm-specific
+structures: MinHash/SimHash signatures, language-ID model, IVF probing) and
+get the driver's rows-only check; their semantics are pytest-verified in
+tests/test_ops_*.py instead.
+
+Float discipline for hash equality: no floating aggregate crosses the
+comparison boundary unless it is (a) an exact pairwise op on identical
+operands (lag deltas, int*double products), or (b) summed as DECIMAL and cast
+back to DOUBLE. Cosine similarities are compared by *rank*, never by value.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """One full crawl round over a synthetic frontier seeded from sf0.001
+    documents: the E1 lifecycle of SURVEY.md §3 minus the storage sinks."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import _SPANS_EXPR, FETCH_SCHEMA, _make_fetcher
+    from crawlspark.functions.canon import canonicalize_udf, with_url_identity
+
+    cfg = CrawlConfig(web_hosts=8)
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    seeds = docs.select(
+        F.concat(
+            F.lit("HTTP://HOST0"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(".EXAMPLE:80/"),
+            F.col("lang"),
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+        ).alias("url"),
+        F.col("doc_id").alias("seed_pos"),
+    )
+    fr = seeds.withColumn("url_canon", canonicalize_udf()(F.col("url"))).filter(
+        F.col("url_canon").isNotNull()
+    )
+    fr = with_url_identity(fr, num_buckets=cfg.num_host_buckets)
+    w = Window.partitionBy("url_hash").orderBy("seed_pos")
+    fr = fr.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # politeness: delay 1s budget per 30s round, rank by seed order
+    wr = Window.partitionBy("host").orderBy("seed_pos")
+    admitted = (
+        fr.withColumn("host_rank", F.row_number().over(wr))
+        .filter(F.col("host_rank") <= int(cfg.round_seconds))
+        .withColumn("fetch_time", F.col("host_rank").cast("double"))
+        .withColumn("depth", F.lit(0))
+    )
+    fetched = admitted.mapInPandas(_make_fetcher(cfg), FETCH_SCHEMA)
+    return (
+        fetched.withColumn("spans", F.expr(_SPANS_EXPR))
+        .select(
+            F.col("url_canon").alias("doc_id"),
+            "spans",
+            "status",
+            "host",
+            "host_rank",
+            "fetch_time",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# operator corpus
+# ---------------------------------------------------------------------------
+
+_URL_EXPR = (
+    "concat('HTTP://HOST', cast(doc_id % 50 as string), '.EXAMPLE:80/', lang, "
+    "'/x/../p', cast(doc_id as string), '?b=2&a=1#frag')"
+)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    from crawlspark.functions.canon import canonicalize_udf
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_URL_EXPR))
+        .select("doc_id", canonicalize_udf()(F.col("url")).alias("url_canon"))
+    )
+
+
+def q_url_host_extract(spark, sf_dir):
+    from crawlspark.functions.canon import canonicalize_udf
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("url", F.expr(_URL_EXPR))
+        .withColumn("url_canon", canonicalize_udf()(F.col("url")))
+        .select(
+            "doc_id", F.parse_url("url_canon", F.lit("HOST")).alias("host")
+        )
+    )
+
+
+def q_dedup_first_wins(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def q_seen_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_perhost_topk(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("budget", (F.lit(1) + F.col("user_id") % 5).cast("int"))
+        .filter(F.col("rnk") <= F.col("budget"))
+        .select("user_id", "event_id", "rnk")
+    )
+
+
+def q_politeness_clock(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn("delay", (F.lit(1) + F.col("user_id") % 5).cast("double"))
+        .withColumn("budget", F.floor(F.lit(30.0) / F.col("delay")))
+        .filter(F.col("host_rank") <= F.col("budget"))
+        .select(
+            "user_id",
+            "event_id",
+            "host_rank",
+            (F.col("host_rank") * F.col("delay")).alias("fetch_time"),
+        )
+    )
+
+
+def q_metrics_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1.0).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+        )
+    )
+
+
+def q_metrics_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("g"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def q_span_explode(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
+
+
+def q_distinct_langs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_json_props(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def q_window_lag_delta(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .select("user_id", "event_id", "delta")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        # microsecond diffs are timezone-invariant on NTZ timestamps (a cast
+        # to double is not: TIMESTAMP_NTZ refuses it, LTZ drags the session TZ in)
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1_800_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+# --- training-data pipeline operators --------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from crawlspark.ops.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    from crawlspark.ops.text import with_tokens
+
+    return with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+
+
+def q_quality_score(spark, sf_dir):
+    from crawlspark.ops.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_len", "n_tokens", "n_stop", "stop_ratio"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from crawlspark.ops.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from crawlspark.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_cols=["lang", "n_chars"]
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from crawlspark.ops.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=10).select("query_id", "vec_id", "rank")
+
+
+def q_media_meta(spark, sf_dir):
+    from crawlspark.ops.multimodal import attach_binary, decode_media_meta
+
+    return decode_media_meta(attach_binary(_t(spark, sf_dir, "documents")))
+
+
+# --- non-SQL-expressible (rows-only check; semantics pytest-verified) -------
+
+def q_lang_id(spark, sf_dir):
+    from crawlspark.ops.text import with_lang_id
+
+    return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
+
+    sigs = with_minhash(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    from crawlspark.ops.dedup import simhash_near_pairs, with_simhash
+
+    return simhash_near_pairs(with_simhash(_t(spark, sf_dir, "documents")))
+
+
+def q_ivf_topk(spark, sf_dir):
+    from crawlspark.ops.similarity import ivf_assign, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_assign(emb, nlist=16)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(assigned, centroids, queries, k=10, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "url_canonicalize": q_url_canonicalize,
+        "url_host_extract": q_url_host_extract,
+        "dedup_first_wins": q_dedup_first_wins,
+        "seen_anti_join": q_seen_anti_join,
+        "perhost_topk": q_perhost_topk,
+        "politeness_clock": q_politeness_clock,
+        "metrics_agg": q_metrics_agg,
+        "metrics_rollup": q_metrics_rollup,
+        "span_explode": q_span_explode,
+        "distinct_langs": q_distinct_langs,
+        "json_props": q_json_props,
+        "window_lag_delta": q_window_lag_delta,
+        "sessionize": q_sessionize,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "media_meta": q_media_meta,
+        "lang_id": q_lang_id,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "ivf_topk": q_ivf_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_DUCK_URL = (
+    "'http://host' || CAST(doc_id % 50 AS VARCHAR) || '.example/' || lang || "
+    "'/p' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'"
+)
+
+_STOPS = (
+    "'a','and','are','as','at','for','he','his','in','is','it','of','on',"
+    "'that','the','they','to','was','with','you'"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "url_canonicalize": f"SELECT doc_id, {_DUCK_URL} AS url_canon FROM documents",
+        "url_host_extract": (
+            "SELECT doc_id, 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host "
+            "FROM documents"
+        ),
+        "dedup_first_wins": (
+            "SELECT user_id, first_event_id FROM ("
+            " SELECT user_id, event_id AS first_event_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn"
+            " FROM events) WHERE rn = 1"
+        ),
+        "seen_anti_join": (
+            "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "perhost_topk": (
+            "SELECT user_id, event_id, rnk FROM ("
+            " SELECT user_id, event_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) rnk,"
+            "  CAST(1 + user_id % 5 AS INT) budget FROM events)"
+            " WHERE rnk <= budget"
+        ),
+        "politeness_clock": (
+            "SELECT user_id, event_id, host_rank, host_rank * delay AS fetch_time FROM ("
+            " SELECT user_id, event_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) host_rank,"
+            "  CAST(1 + user_id % 5 AS DOUBLE) delay FROM events)"
+            " WHERE host_rank <= FLOOR(30.0 / delay)"
+        ),
+        "metrics_agg": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,"
+            " CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *"
+            "  (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+            "  AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "metrics_rollup": (
+            "SELECT lang, source, GROUPING(lang, source) AS g, COUNT(*) AS n_docs,"
+            " SUM(n_chars) AS sum_chars FROM documents GROUP BY ROLLUP(lang, source)"
+        ),
+        "span_explode": (
+            "SELECT vec_id, unnest(range(len(embedding))) AS pos,"
+            " unnest(embedding) AS val FROM embeddings"
+        ),
+        "distinct_langs": (
+            "SELECT COUNT(DISTINCT lang) AS n_langs,"
+            " COUNT(DISTINCT source) AS n_sources FROM documents"
+        ),
+        "json_props": (
+            "SELECT event_type, COUNT(*) AS n_events,"
+            " SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k"
+            " FROM events GROUP BY event_type"
+        ),
+        "window_lag_delta": (
+            "SELECT user_id, event_id,"
+            " value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta"
+            " FROM events"
+        ),
+        "sessionize": (
+            "SELECT user_id, event_id,"
+            " SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+            " SELECT user_id, event_id, ts,"
+            "  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
+            "   OR date_diff('microsecond', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000"
+            "  THEN 1 ELSE 0 END AS new_sess FROM events)"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,"
+            " COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"
+        ),
+        "token_count": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, length(text) AS text_len,"
+            " len(string_split(text, ' ')) AS n_tokens,"
+            f" len(list_filter(string_split(text, ' '), w -> w IN ({_STOPS}))) AS n_stop,"
+            f" CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOPS}))) AS DOUBLE)"
+            "  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio"
+            " FROM documents"
+        ),
+        "fingerprint": (
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "string_split(text, ' '))), ' ')) AS fingerprint FROM documents"
+        ),
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, lang, n_chars,"
+            " list_distinct(string_split(text, ' ')) AS t FROM documents)"
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /"
+            " CAST(len(list_distinct(list_concat(a.t, b.t))) AS DOUBLE) AS jaccard"
+            " FROM toks a JOIN toks b"
+            " ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"
+        ),
+        "ann_topk": (
+            "SELECT query_id, vec_id, rank FROM ("
+            " SELECT q.vec_id AS query_id, v.vec_id AS vec_id,"
+            "  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY"
+            "   list_cosine_similarity(v.embedding, q.embedding) DESC, v.vec_id) AS rank"
+            " FROM embeddings v, (SELECT * FROM embeddings WHERE vec_id < 4) q)"
+            " WHERE rank <= 10"
+        ),
+        "media_meta": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,"
+            " CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,"
+            " CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,"
+            " CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames"
+            " FROM documents"
+        ),
+    }

@@ -1,0 +1,235 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the reason these are built this way):
+
+- exact: one hash-groupBy shuffle on md5(text) — map-side partial agg free.
+- MinHash+LSH: signatures in one Arrow pass; the candidate-pair join is on
+  (band, band_hash) buckets, so its shuffle moves only (doc_id, bucket) pairs
+  — never text — and hot buckets are bounded by the banding parameters.
+- SimHash: 64-bit signature per doc; near-pair search joins on 16-bit chunks
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal), again a
+  key-only shuffle.
+- n-gram Jaccard: exact verification on a *blocked* pair set; blocking keys
+  bound the quadratic term.
+
+Signature computation is per-document and embarrassingly parallel; all joins
+are equi-joins Catalyst can plan (broadcast when one side is small, SMJ
+otherwise). Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the minimum id as the
+    representative. Returns (content_md5, keep_id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        out[i] = int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+    """MinHash signature as array<long>: universal hashing
+    h_i(x) = (a_i*x + b_i) mod p over 8-byte shingle hashes, min per i.
+    One Arrow batch per call; the permutation inner loop is numpy
+    (num_perm × n_shingles broadcasting), no per-element Python."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    @F.pandas_udf("array<long>")
+    def _minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append([0] * num_perm)
+                continue
+            sh = _shingle_hashes(t, shingle_k).astype(object)  # python ints: no mod-p overflow
+            vals = (a.astype(object)[:, None] * sh[None, :] + b.astype(object)[:, None]) % _MERSENNE
+            sig = vals.min(axis=1)
+            out.append([int(v) for v in sig])
+        return pd.Series(out, index=texts.index)
+
+    return _minhash
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    return df.withColumn("minhash", minhash_udf(num_perm, shingle_k)(F.col(text_col)))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """LSH banding: split each signature into `bands` rows of `num_perm/bands`
+    values, bucket-join on (band, hash(rows)), emit distinct candidate pairs
+    with the MinHash Jaccard estimate (fraction of equal signature slots).
+    Pure DataFrame ops: posexplode + self-join + zip_with aggregate."""
+    r = num_perm // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("id"),
+        "minhash",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> hash(slice(minhash, b*{r}+1, {r})))"
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.minhash").alias("sig_a"),
+            F.col("r.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.withColumn(
+        "est_jaccard",
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
+            "0, (acc, v) -> acc + v)"
+        ).cast("double")
+        / F.lit(num_perm),
+    ).select("id_a", "id_b", "est_jaccard")
+
+
+def simhash_udf(seed: int = 42):
+    """64-bit SimHash over whitespace tokens (weighted bit-vote), returned as
+    signed long. Bit votes are a numpy (n_words × 64) reduction per doc."""
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        bit_idx = np.arange(64, dtype=np.uint64)
+
+        def one(t: str | None) -> int:
+            if not t:
+                return 0
+            words = t.split()
+            hs = np.empty(len(words), dtype=np.uint64)
+            for i, w in enumerate(words):
+                hs[i] = int.from_bytes(
+                    blake2b(w.encode(), digest_size=8, key=str(seed).encode()).digest(),
+                    "big",
+                )
+            bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # n×64
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            v = 0
+            for i in range(64):
+                if votes[i] >= 0:
+                    v |= 1 << i
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return texts.map(one)
+
+    return _simhash
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash_udf()(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+    Pigeonhole banding: split 64 bits into 4 chunks of 16; any pair within
+    hamming 3 agrees on ≥1 chunk → join only on (chunk_idx, chunk_value)."""
+    chunked = sim_df.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0,3), i -> shiftright(simhash, i*16) & 65535)"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard over a blocked pair set. Blocking keys bound
+    the quadratic join; the set algebra is JVM higher-order functions."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+    l, r = toks.alias("l"), toks.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    return (
+        l.join(r, cond)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("l.toks", "r.toks")).cast("double")
+                / F.size(F.array_union("l.toks", "r.toks")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

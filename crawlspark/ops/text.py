@@ -1,0 +1,110 @@
+"""Text analysis operators (tokenize / quality / language-ID / fingerprint).
+
+All hot paths are JVM built-ins (split, size, filter, md5, array_sort) so
+they stay inside whole-stage codegen; only language-ID — a genuinely
+non-relational scoring function — crosses to Python, as one Arrow-batched
+pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Small function-word profiles for the five fixture languages. Public
+# common-word lists; enough to separate languages on bag-of-words text.
+_LANG_PROFILES: dict[str, frozenset] = {
+    "en": frozenset(
+        "the a of and to in is it you that he was for on are as with his they at".split()
+    ),
+    "de": frozenset(
+        "der die das und zu den von ist mit sich des auf für nicht ein eine als auch es an".split()
+    ),
+    "fr": frozenset(
+        "le la les de des un une et est dans que pour qui sur pas plus par il au ce ne".split()
+    ),
+    "es": frozenset(
+        "el la los las de un una y es en que por para con no se del al lo como".split()
+    ),
+    "it": frozenset(
+        "il la i le di un una e è in che per con non si del al lo come della".split()
+    ),
+}
+
+STOPWORDS_EN = sorted(_LANG_PROFILES["en"])
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization; `n_tokens` column. JVM-side."""
+    return df.withColumn("tokens", F.split(F.col(text_col), " ")).withColumn(
+        "n_tokens", F.size("tokens")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token count, mean token length,
+    English stopword ratio. All codegen'd column expressions."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return (
+        with_tokens(df, text_col)
+        .withColumn("text_len", F.length(text_col))
+        .withColumn(
+            "n_stop",
+            F.expr(f"size(filter(tokens, w -> w IN ({stop_list})))"),
+        )
+        .withColumn(
+            "stop_ratio",
+            F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "mean_token_len",
+            (F.col("text_len") - F.col("n_tokens") + 1).cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order-insensitive content identity (bag-of-words winnowing rendered with
+    exact set semantics so it is oracle-checkable in ANSI SQL)."""
+    return df.withColumn(
+        "fingerprint",
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split(F.col(text_col), " ")))
+            )
+        ),
+    )
+
+
+def lang_id_udf():
+    """Language ID: argmax over per-language function-word hit ratios.
+    Vectorized: one pandas str.split per batch, set-intersection per row."""
+
+    @F.pandas_udf("string")
+    def _lang(texts: pd.Series) -> pd.Series:
+        profiles = list(_LANG_PROFILES.items())
+
+        def score(t: str | None) -> str:
+            if not t:
+                return "und"
+            words = t.split()
+            if not words:
+                return "und"
+            n = len(words)
+            best_lang, best = "und", 0.0
+            for lang, prof in profiles:
+                s = sum(1 for w in words if w in prof) / n
+                if s > best:
+                    best_lang, best = lang, s
+            return best_lang
+
+        return texts.map(score)
+
+    return _lang
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", lang_id_udf()(F.col(text_col)))

@@ -1,0 +1,111 @@
+"""Semantic tests for the non-SQL-expressible pipeline operators
+(rows-only entries in __spark_entry__): MinHash+LSH and SimHash must find
+planted near-duplicates and skip unrelated docs; IVF ANN must recall most of
+brute-force top-k; language-ID must recover the fixture's lang labels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 base docs + 20 near-duplicates (one word changed) + base docs reused
+    verbatim (exact dups). Deterministic."""
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(60):
+        # unique leading token keeps base docs distinct (the cyclic word
+        # pattern alone repeats with period len(vocab))
+        words = [f"uniq{i}"] + [vocab[(i * 7 + j * 3) % len(vocab)] for j in range(40)]
+        rows.append((i, " ".join(words)))
+    for i in range(20):  # near-dup of doc i: flip one word
+        words = rows[i][1].split()
+        words[5] = "REPLACED"
+        rows.append((1000 + i, " ".join(words)))
+    for i in range(10):  # exact dup of doc i
+        rows.append((2000 + i, rows[i][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_pairs(planted):
+    from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
+
+    pairs = (
+        lsh_candidate_pairs(with_minhash(planted))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    )
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # all 20 near-dup pairs and 10 exact-dup pairs must surface
+    for i in range(20):
+        assert (i, 1000 + i) in found, f"missed near-dup pair {i}"
+    for i in range(10):
+        assert (i, 2000 + i) in found, f"missed exact-dup pair {i}"
+    # est_jaccard of exact dups is 1.0
+    exact = [r for r in pairs if r["id_b"] >= 2000 and r["id_a"] == r["id_b"] - 2000]
+    assert all(r["est_jaccard"] == 1.0 for r in exact)
+
+
+def test_simhash_finds_planted_pairs(planted):
+    from crawlspark.ops.dedup import simhash_near_pairs, with_simhash
+
+    pairs = simhash_near_pairs(with_simhash(planted), max_hamming=10).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    hit = sum(1 for i in range(20) if (i, 1000 + i) in found)
+    assert hit >= 15, f"simhash found only {hit}/20 near-dup pairs"
+    for i in range(10):
+        assert found.get((i, 2000 + i)) == 0, "exact dup must have hamming 0"
+
+
+def test_exact_dedup_groups(planted):
+    from crawlspark.ops.dedup import exact_dedup
+
+    groups = exact_dedup(planted).collect()
+    dup_groups = [g for g in groups if g["dup_count"] > 1]
+    assert len(dup_groups) == 10
+    assert all(g["keep_id"] < 60 for g in dup_groups)  # min id wins
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from crawlspark.ops.similarity import brute_force_topk, ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assigned, centroids = ivf_assign(emb, nlist=16)
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(assigned, centroids, queries, k=10, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
+
+
+def test_lang_id_on_constructed_texts(spark):
+    """The driver `documents.lang` column carries no textual signal (all
+    fixture text is English-ish vocab regardless of label — verified), so
+    language-ID is tested on constructed function-word texts instead."""
+    from crawlspark.ops.text import with_lang_id
+
+    samples = [
+        (0, "the cat is on the mat and it was with his friend at the door", "en"),
+        (1, "der hund ist mit der katze und das haus auf den feldern nicht", "de"),
+        (2, "le chien est dans la maison et les chats sur le toit pour il", "fr"),
+        (3, "el perro es una casa y los gatos en el techo con no se del", "es"),
+        (4, "il cane è in una casa e i gatti per il tetto con non si del", "it"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in samples], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    for i, _, want in samples:
+        assert got[i] == want, (i, got[i], want)
