@@ -37,6 +37,7 @@ and happens after admission.
 
 from __future__ import annotations
 
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -326,6 +327,14 @@ class CrawlEngine:
         """Consume frontier snapshot rnd-1, commit round rnd."""
         cfg, sp = self.cfg, self.spark
         m = RoundMetrics(round=rnd)
+        timings: dict[str, float] = {}
+        _t0 = [time.time()]
+
+        def tick(phase: str) -> None:
+            now = time.time()
+            timings[phase] = round(now - _t0[0], 3)
+            _t0[0] = now
+
         frontier = self.storage.read_round("frontier", rnd - 1).select(*FRONTIER_COLS)
 
         self._refresh_cuckoo(rnd)  # unban (cuckoo delete) takes effect here
@@ -361,6 +370,7 @@ class CrawlEngine:
                 "disallowed"
             ),
         ).first()
+        tick("admission_stats")
         m.frontier_size = st["n"]
         m.skipped_banned = int(st["banned"] or 0)
         m.skipped_robots = int(st["disallowed"] or 0)
@@ -414,6 +424,7 @@ class CrawlEngine:
             )
         )
         self.storage.write_round("documents", docs, rnd)
+        tick("fetch_parse_write_docs")
 
         # F3 link extraction → S4 edges append
         edges = (
@@ -445,6 +456,7 @@ class CrawlEngine:
             ),
             rnd,
         )
+        tick("edges_write")
 
         # U1/U2: candidate frontier rows with lineage
         cand = (
@@ -474,6 +486,7 @@ class CrawlEngine:
             .persist()
         )
         m.candidates = edges.filter(F.col("p_depth") + 1 <= cfg.max_depth).count()
+        tick("candidates_dedup")
 
         # A3 Bloom prefilter → A2 exact anti-join backstop
         cand = cand.withColumn(
@@ -493,7 +506,9 @@ class CrawlEngine:
             F.lit(rnd).alias("first_round"),
         )
         self.storage.write_round("seen", seen_add, rnd)
+        tick("seen_antijoin_write")
         self._fold_into_bloom(self.storage.read_round("seen", rnd))
+        tick("bloom_fold")
 
         # U1: next frontier snapshot = deferred ∪ banned-deferred ∪ new
         next_frontier = (
@@ -502,6 +517,7 @@ class CrawlEngine:
             .unionByName(new.select(*FRONTIER_COLS))
         )
         self.storage.write_round("frontier", next_frontier, rnd)
+        tick("frontier_write")
 
         # G1 metrics (per host-hash bucket = per partition lineage)
         fst = fetched.agg(
@@ -522,6 +538,7 @@ class CrawlEngine:
         self.storage.write_round("metrics", metrics_df, rnd, cluster_by=None,
                                  num_files=1)
 
+        tick("metrics_write")
         self.storage.save_filters(rnd, self.bloom.to_blobs(), self.cuckoo.to_bytes())
         # next snapshot size is already known arithmetically — no read-back job
         next_size = m.skipped_politeness + m.new_urls + (
@@ -548,6 +565,7 @@ class CrawlEngine:
             },
         )
         m.extras["next_frontier_size"] = next_size
+        m.extras["timings"] = timings
         for df in (fr, ranked, fetched, edges, cand, new):
             df.unpersist()
         self.history.append(m)

@@ -160,15 +160,19 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
 
 def resolve_series(base: pd.Series, href: pd.Series) -> pd.Series:
     """C8: vectorized relative-URL resolution + canonicalization for
-    extracted links: canonicalize(urljoin(page_url, href))."""
-    joined = pd.Series(
-        [
+    extracted links: canonicalize(urljoin(page_url, href)). Absolute hrefs
+    (the majority on a real web) skip the per-element urljoin entirely —
+    only relative links pay the python parse."""
+    href = href.astype("object")
+    base = base.astype("object")
+    absolute = href.str.match(r"^[hH][tT][tT][pP][sS]?://", na=False)
+    joined = href.where(absolute, None)
+    rel_idx = joined.index[~absolute]
+    if len(rel_idx):
+        joined.loc[rel_idx] = [
             urljoin(b, h) if (b and h) else None
-            for b, h in zip(base.astype("object"), href.astype("object"))
-        ],
-        index=base.index,
-        dtype="object",
-    )
+            for b, h in zip(base.loc[rel_idx], href.loc[rel_idx])
+        ]
     return canonicalize_series(joined)
 
 

@@ -53,26 +53,39 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return out
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized uint64, wraparound arithmetic)."""
+    h = h.copy()
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def minhash_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
-    """MinHash signature as array<long>: universal hashing
-    h_i(x) = (a_i*x + b_i) mod p over 8-byte shingle hashes, min per i.
-    One Arrow batch per call; the permutation inner loop is numpy
-    (num_perm × n_shingles broadcasting), no per-element Python."""
+    """MinHash signature as array<long>: multiply-shift universal hashing
+    h_i(x) = mix64(a_i*x + b_i) (mod 2^64 wraparound) over 8-byte shingle
+    hashes, min per i. Native uint64 numpy throughout — object-dtype mod-p
+    math is ~50x slower AND scales badly across many worker processes
+    (allocator contention); wraparound uint64 ops are allocation-light."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = (rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
 
     @F.pandas_udf("array<long>")
     def _minhash(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            if not t:
-                out.append([0] * num_perm)
-                continue
-            sh = _shingle_hashes(t, shingle_k).astype(object)  # python ints: no mod-p overflow
-            vals = (a.astype(object)[:, None] * sh[None, :] + b.astype(object)[:, None]) % _MERSENNE
-            sig = vals.min(axis=1)
-            out.append([int(v) for v in sig])
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if not t:
+                    out.append([0] * num_perm)
+                    continue
+                sh = _shingle_hashes(t, shingle_k)
+                vals = _mix64(a[:, None] * sh[None, :] + b[:, None])
+                sig = vals.min(axis=1).astype(np.int64)  # two's-complement view
+                out.append(sig.tolist())
         return pd.Series(out, index=texts.index)
 
     return _minhash
@@ -142,23 +155,28 @@ def simhash_udf(seed: int = 42):
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
         bit_idx = np.arange(64, dtype=np.uint64)
+        key = str(seed).encode()
+        word_cache: dict[str, int] = {}  # natural text repeats words heavily
+
+        def word_hash(w: str) -> int:
+            h = word_cache.get(w)
+            if h is None:
+                h = int.from_bytes(
+                    blake2b(w.encode(), digest_size=8, key=key).digest(), "big"
+                )
+                word_cache[w] = h
+            return h
 
         def one(t: str | None) -> int:
             if not t:
                 return 0
             words = t.split()
-            hs = np.empty(len(words), dtype=np.uint64)
-            for i, w in enumerate(words):
-                hs[i] = int.from_bytes(
-                    blake2b(w.encode(), digest_size=8, key=str(seed).encode()).digest(),
-                    "big",
-                )
+            hs = np.fromiter(
+                (word_hash(w) for w in words), dtype=np.uint64, count=len(words)
+            )
             bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)  # n×64
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            v = 0
-            for i in range(64):
-                if votes[i] >= 0:
-                    v |= 1 << i
+            v = int(((votes >= 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
             return v - (1 << 64) if v >= (1 << 63) else v
 
         return texts.map(one)

@@ -1,0 +1,88 @@
+"""Physical-plan assertions (SURVEY.md §4): the plans Catalyst produces must
+be the plans we designed for — broadcast for the robots dim, partition
+pruning on round-partitioned tables, column pruning into the parquet scan,
+and JVM-only (whole-stage codegen) expression pipelines where no UDF is
+declared."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_robots_join_is_broadcast(spark, tmp_path):
+    """R1: the robots dimension must broadcast, never shuffle the frontier."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.storage import CrawlStorage
+    from crawlspark.sources import synthweb
+
+    cfg = CrawlConfig(web_hosts=6, shuffle_partitions=4)
+    storage = CrawlStorage(spark, tmp_path)
+    eng = CrawlEngine(spark, cfg, storage)
+    eng.bootstrap(synthweb.seed_list(cfg, n=10))
+    frontier = storage.read_round("frontier", 0)
+    joined = frontier.join(F.broadcast(eng._robots_df()), "host", "left")
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_round_partition_pruning(spark, tmp_path):
+    """S2: a `round <= k` predicate must prune to the matching partition
+    dirs (Iceberg-snapshot-style pruning via the parquet facade)."""
+    from crawlspark.storage import CrawlStorage
+
+    storage = CrawlStorage(spark, tmp_path)
+    df = spark.range(10).withColumn("host_hash", (F.col("id") % 4).cast("int"))
+    for rnd in range(3):
+        storage.write_round("seen", df, rnd)
+    pruned = storage.read_table("seen", upto_round=1)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "round" in plan
+    # only 2 of 3 round dirs survive pruning
+    assert pruned.select("round").distinct().count() == 2
+
+
+def test_scan_column_pruning(spark):
+    """A 2-column projection must not read all 7 lineitem columns."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_quality_score_is_pure_codegen(spark):
+    """F-series text ops declare no Python UDF — the whole expression
+    pipeline must stay in WholeStageCodegen (no ArrowEvalPython node)."""
+    from crawlspark.ops.text import quality_features
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(quality_features(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted explain marks whole-stage-codegen nodes with '*'; the
+    # higher-order-function Projects are JVM-interpreted but never Python
+    assert "* ColumnarToRow" in plan or "* Project" in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    from crawlspark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = _plan(brute_force_topk(emb, queries, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
