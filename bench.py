@@ -138,8 +138,12 @@ def bench_crawl() -> dict:
     (per-round checkpoint/commit costs don't shrink with cores — at 10^10
     scale rounds are minutes of compute and this term vanishes). The
     compute-bound scaling evidence is `docproc_scaling`."""
-    r8 = _run_crawl(8)
-    r32 = _run_crawl(32)
+    # best-of-2 per level: this VM shows hypervisor steal bursts (observed
+    # 13-15% in vmstat) that dominate a latency-bound loop's wall time
+    runs8 = [_run_crawl(8) for _ in range(2)]
+    runs32 = [_run_crawl(32) for _ in range(2)]
+    r8 = max(runs8, key=lambda r: r["throughput_urls_per_sec"])
+    r32 = max(runs32, key=lambda r: r["throughput_urls_per_sec"])
     eff = r32["throughput_urls_per_sec"] / (4 * r8["throughput_urls_per_sec"])
     return {
         "local8": r8,
@@ -280,7 +284,7 @@ def _run_docproc(cores: int, n_rows: int) -> float:
         spark.stop()
 
 
-def bench_docproc(n_rows: int = 600_000, trials: int = 2) -> dict:
+def bench_docproc(n_rows: int = 400_000, trials: int = 2) -> dict:
     """Best-of-N per parallelism level: single-machine turbo/thermal state
     makes individual runs noisy (±30% observed)."""
     t8 = min(_run_docproc(8, n_rows) for _ in range(trials))
@@ -299,20 +303,33 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     parts = os.environ.get(
-        "SPARK_GRAFT_BENCH_PARTS", "queries,crawl,docproc,calibrate"
+        "SPARK_GRAFT_BENCH_PARTS", "crawl,docproc,queries,calibrate"
     ).split(",")
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     t_start = time.time()
     result: dict = {}
-    if "queries" in parts:
-        result["queries"] = bench_queries(sf_dir, cpus)
-    if "crawl" in parts:
+
+    def within_budget() -> bool:
+        return time.time() - t_start < budget
+
+    # headline metric first; later parts are skipped (and flagged) if the
+    # time budget runs out, so ONE JSON line always lands
+    if "crawl" in parts and within_budget():
         result["crawl"] = bench_crawl()
-    if "docproc" in parts:
+    if "docproc" in parts and within_budget():
         result["docproc_scaling"] = bench_docproc()
-    if "calibrate" in parts:
+    if "queries" in parts and within_budget():
+        result["queries"] = bench_queries(sf_dir, cpus)
+    if "calibrate" in parts and within_budget():
         result["hardware_calibration"] = calibrate_hardware()
+    result["skipped_parts"] = [
+        p for p in parts
+        if p not in ("",)
+        and {"crawl": "crawl", "docproc": "docproc_scaling", "queries": "queries",
+             "calibrate": "hardware_calibration"}.get(p) not in result
+    ]
     total = round(time.time() - t_start, 2)
 
     line = {
@@ -322,6 +339,7 @@ def main() -> None:
         ),
         "unit": "urls/sec",
         "suite_sec": total,
+        "unit_note": "value = URLs fetched+deduped/sec at local[32], best of 2",
         "queries": result.get("queries", {}),
         "sf": sf,
         **{k: v for k, v in result.items() if k != "queries"},

@@ -49,4 +49,11 @@ class CrawlConfig:
     # banned forever (their frontier entries are dropped, not deferred).
     unban_round: int | None = None
     shuffle_partitions: int = 32
+    # Adaptive fetch-stage parallelism: the mapInPandas fetch repartitions to
+    # ceil(frontier_size / fetch_rows_per_partition), clamped to
+    # [4, shuffle_partitions]. Python-stage tasks carry real per-task cost
+    # (worker attach + Arrow setup), so small rounds want few fat partitions
+    # — measured 2.4x round latency from oversizing — while big rounds open
+    # up to the full shuffle_partitions. AQE cannot re-plan Python stages.
+    fetch_rows_per_partition: int = 2000
     extra_spark_conf: dict = field(default_factory=dict)

@@ -294,7 +294,14 @@ class CrawlEngine:
     def _fold_into_bloom(self, seen_rows: DataFrame) -> None:
         """A5: build per-host-hash-bucket Bloom blobs distributed
         (applyInPandas), collect the ≤num_buckets small blobs, OR-merge into
-        the driver's cumulative partitioned filter."""
+        the driver's cumulative partitioned filter.
+
+        Scale path: at 10^4 buckets × O(100KB) blobs the full dict no longer
+        belongs on the driver or in one broadcast — the sidecars then live in
+        a blob table keyed by bucket, executors of bucket b read only blob b
+        (a storage-partitioned map-side join), and the OR-merge happens in
+        the same applyInPandas pass. The sandbox keeps the broadcast-dict
+        rendering because every bucket fits comfortably."""
         cap, fp = self._bloom_capacity(), BLOOM_FP_RATE
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -369,11 +376,17 @@ class CrawlEngine:
             F.sum((~F.col("is_banned") & ~F.col("is_allowed")).cast("long")).alias(
                 "disallowed"
             ),
+            # A6: frontier cardinality estimate (HLL) — sizes the Bloom
+            # sidecars at scale; one extra agg expression, zero extra jobs
+            F.approx_count_distinct("url_hash").alias("distinct_est"),
+            F.approx_count_distinct("host").alias("hosts_est"),
         ).first()
         tick("admission_stats")
         m.frontier_size = st["n"]
         m.skipped_banned = int(st["banned"] or 0)
         m.skipped_robots = int(st["disallowed"] or 0)
+        m.extras["frontier_distinct_est"] = int(st["distinct_est"])
+        m.extras["frontier_hosts_est"] = int(st["hosts_est"])
 
         # Banned rows: deferred (stay in frontier) when an unban is coming,
         # dropped permanently when the ban is forever (else no exhaustion).
@@ -397,11 +410,22 @@ class CrawlEngine:
             "fetch_time", F.col("host_rank") * F.col("crawl_delay")
         )
 
-        # G3 salted repartition → F1/F2 fetch+parse (mapInPandas)
-        salt_n = max(4, cfg.shuffle_partitions // 4)
+        # G3 salted repartition → F1/F2 fetch+parse (mapInPandas).
+        # Partition count adapts to the (already-counted) frontier size:
+        # python-stage tasks have real fixed cost, so small rounds use few
+        # fat partitions, big rounds the full configured width (see
+        # CrawlConfig.fetch_rows_per_partition).
+        fetch_parts = max(
+            4,
+            min(
+                cfg.shuffle_partitions,
+                -(-m.frontier_size // cfg.fetch_rows_per_partition),
+            ),
+        )
+        salt_n = max(4, fetch_parts // 4)
         admitted = admitted.withColumn(
             "salt", F.pmod(F.xxhash64("url_canon"), F.lit(salt_n))
-        ).repartition(cfg.shuffle_partitions, "host_hash", "salt")
+        ).repartition(fetch_parts, "host_hash", "salt")
         fetched = admitted.mapInPandas(
             _make_fetcher(cfg), FETCH_SCHEMA
         ).persist()

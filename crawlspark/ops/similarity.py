@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +48,81 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "cos")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    max_hamming: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
+    (Charikar 2002 [pub]) — 64 sign bits of projections onto seeded Gaussian
+    hyperplanes pack into one BIGINT signature whose hamming distance
+    estimates the angle. Candidate pairs come from a 16-bit-chunk pigeonhole
+    join (key-only shuffle, like SimHash), then exact cosine verifies against
+    `threshold`. No candidate pair is trusted unverified."""
+
+    @F.pandas_udf("long")
+    def _rh_sig(vecs: pd.Series) -> pd.Series:
+        state = {"planes": None}
+
+        def one(v) -> int:
+            x = np.asarray(v, dtype=np.float64)
+            planes = state["planes"]
+            if planes is None or planes.shape[1] != len(x):
+                state["planes"] = planes = np.random.default_rng(seed).standard_normal(
+                    (64, len(x))
+                )
+            bits = (planes @ x) >= 0
+            s = int(
+                (bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                    dtype=np.uint64
+                )
+            )
+            return s - (1 << 64) if s >= (1 << 63) else s
+
+        return vecs.map(one)
+
+    sig = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        _rh_sig(F.col(vec_col)).alias("simhash"),
+    )
+    chunked = sig.select(
+        "id",
+        "vec",
+        "simhash",
+        F.posexplode(
+            F.expr("transform(sequence(0,3), i -> shiftright(simhash, i*16) & 65535)")
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+            <= max_hamming
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("vec_a"),
+            F.col("r.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.expr(_cosine_expr("vec_a", "vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

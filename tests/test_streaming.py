@@ -1,0 +1,124 @@
+"""Structured Streaming mapping (SURVEY.md §2.9): canonicalize → streaming
+dedup → windowed per-host counts → stateful politeness gate, with state
+persisting across micro-batch restarts via the checkpoint."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_events(path, events, name):
+    path.mkdir(parents=True, exist_ok=True)
+    with open(path / f"{name}.json", "w") as f:
+        for ts, url in events:
+            f.write(json.dumps({"ts": ts, "url": url}) + "\n")
+
+
+def _run_available_now(stream_df, out_dir, ckpt):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_streaming_canonicalize_and_dedup(spark, tmp_path):
+    from crawlspark.streaming import canonical_url_stream, streaming_seen_filter
+
+    src = tmp_path / "src"
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:01", "HTTP://HOST00.EXAMPLE/a/start#frag"),
+            ("2026-01-01 00:00:02", "http://host00.example:80/a/start"),  # dup
+            ("2026-01-01 00:00:03", "http://host01.example/b?z=1&a=2"),
+            ("2026-01-01 00:00:04", "ftp://bad.example/x"),  # filtered scheme
+        ],
+        "batch0",
+    )
+    stream = streaming_seen_filter(canonical_url_stream(spark, str(src)))
+    out = tmp_path / "out"
+    _run_available_now(stream, out, tmp_path / "ckpt")
+    rows = spark.read.parquet(str(out)).collect()
+    got = sorted(r["url_canon"] for r in rows)
+    assert got == [
+        "http://host00.example/a/start",
+        "http://host01.example/b?a=2&z=1",
+    ]
+
+
+def test_streaming_perhost_rate(spark, tmp_path):
+    from crawlspark.streaming import canonical_url_stream, perhost_rate
+
+    src = tmp_path / "src"
+    _write_events(
+        src,
+        [(f"2026-01-01 00:00:{i:02d}", f"http://host00.example/p{i}") for i in range(5)]
+        + [("2026-01-01 00:00:09", "http://host01.example/x")],
+        "batch0",
+    )
+    stream = perhost_rate(canonical_url_stream(spark, str(src)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["host"]: r["n_urls"] for r in spark.sql("select * from rates").collect()}
+    assert rows == {"host00.example": 5, "host01.example": 1}
+
+
+def test_politeness_gate_state_survives_restart(spark, tmp_path):
+    """The applyInPandasWithState crawl-delay gate must carry per-host state
+    across separate micro-batch runs through the state-store checkpoint."""
+    from crawlspark.streaming import canonical_url_stream, politeness_gate
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    out = tmp_path / "out"
+
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:00", "http://host00.example/p0"),  # admit (first)
+            ("2026-01-01 00:00:02", "http://host00.example/p1"),  # too soon
+            ("2026-01-01 00:00:07", "http://host00.example/p2"),  # admit (+7s)
+        ],
+        "batch0",
+    )
+    gate = politeness_gate(canonical_url_stream(spark, str(src)), delay_seconds=5.0)
+    _run_available_now(gate, out, ckpt)
+
+    # second run, same checkpoint: host00's last admitted fetch was t=7
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:09", "http://host00.example/p3"),  # too soon (9 < 12)
+            ("2026-01-01 00:00:13", "http://host00.example/p4"),  # admit (13 >= 12)
+            ("2026-01-01 00:00:09", "http://host01.example/q0"),  # new host: admit
+        ],
+        "batch1",
+    )
+    gate2 = politeness_gate(canonical_url_stream(spark, str(src)), delay_seconds=5.0)
+    _run_available_now(gate2, out, ckpt)
+
+    rows = {
+        r["url_canon"]: r["admitted"] for r in spark.read.parquet(str(out)).collect()
+    }
+    assert rows == {
+        "http://host00.example/p0": True,
+        "http://host00.example/p1": False,
+        "http://host00.example/p2": True,
+        "http://host00.example/p3": False,
+        "http://host00.example/p4": True,
+        "http://host01.example/q0": True,
+    }
