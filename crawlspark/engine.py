@@ -102,6 +102,18 @@ FETCH_SCHEMA = T.StructType(
     ]
 )
 
+def _parallel(*thunks) -> None:
+    """Run independent Spark jobs concurrently from driver threads (shared
+    SparkSession; standard Spark concurrent-job scheduling). Exceptions
+    propagate after all threads join."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def _signed64(v: int) -> int:
     """Two's-complement view of an unsigned 64-bit hash (numpy int64-safe)."""
     return v - (1 << 64) if v >= (1 << 63) else v
@@ -429,6 +441,14 @@ class CrawlEngine:
         fetched = admitted.mapInPandas(
             _make_fetcher(cfg), FETCH_SCHEMA
         ).persist()
+        # materialize the fetch cache with the stats agg, so the two sink
+        # writes below can run as CONCURRENT jobs reading the cache
+        fst = fetched.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+        ).first()
+        m.fetched = fst["n"]
+        m.ok_200 = int(fst["ok"] or 0)
 
         # S3 documents append (contract schema + bookkeeping)
         docs = (
@@ -447,8 +467,6 @@ class CrawlEngine:
                 "content_sha2",
             )
         )
-        self.storage.write_round("documents", docs, rnd)
-        tick("fetch_parse_write_docs")
 
         # F3 link extraction → S4 edges append
         edges = (
@@ -469,18 +487,21 @@ class CrawlEngine:
             edges.withColumnRenamed("dst_canon", "url_canon"),
             num_buckets=cfg.num_host_buckets,
         ).persist()
-        self.storage.write_round(
-            "edges",
-            edges.select(
-                "src_hash",
-                F.col("href").alias("dst_url"),
-                F.col("url_canon").alias("dst_canon"),
-                F.col("url_hash").alias("dst_hash"),
-                "pos",
-            ),
-            rnd,
+        edges_out = edges.select(
+            "src_hash",
+            F.col("href").alias("dst_url"),
+            F.col("url_canon").alias("dst_canon"),
+            F.col("url_hash").alias("dst_hash"),
+            "pos",
         )
-        tick("edges_write")
+        # driver-side job pipelining: the documents and edges sinks are
+        # independent (both read the materialized fetch cache) — run them as
+        # concurrent Spark jobs so the round pays max(write) not sum(write)
+        _parallel(
+            lambda: self.storage.write_round("documents", docs, rnd),
+            lambda: self.storage.write_round("edges", edges_out, rnd),
+        )
+        tick("docs_edges_parallel_write")
 
         # U1/U2: candidate frontier rows with lineage
         cand = (
@@ -540,29 +561,29 @@ class CrawlEngine:
             .unionByName(banned_deferred.select(*FRONTIER_COLS))
             .unionByName(new.select(*FRONTIER_COLS))
         )
-        self.storage.write_round("frontier", next_frontier, rnd)
-        tick("frontier_write")
-
-        # G1 metrics (per host-hash bucket = per partition lineage)
-        fst = fetched.agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
-        ).first()
-        m.fetched = fst["n"]
-        m.ok_200 = int(fst["ok"] or 0)
-        m.skipped_politeness = int(
-            ranked.agg(
-                F.sum((F.col("host_rank") > F.col("host_budget")).cast("long"))
-            ).first()[0]
-            or 0
-        )
+        # G1 metrics + final sinks: everything below reads materialized
+        # caches, so frontier write, metrics write and the lagging counters
+        # run as concurrent jobs (driver-side pipelining again)
         m.new_urls = new.count()
         m.deduped = m.candidates - m.new_urls
         metrics_df = self._metrics_df(rnd, fetched, disallowed, deferred, new)
-        self.storage.write_round("metrics", metrics_df, rnd, cluster_by=None,
-                                 num_files=1)
 
-        tick("metrics_write")
+        def _deferred_count() -> None:
+            m.skipped_politeness = int(
+                ranked.agg(
+                    F.sum((F.col("host_rank") > F.col("host_budget")).cast("long"))
+                ).first()[0]
+                or 0
+            )
+
+        _parallel(
+            lambda: self.storage.write_round("frontier", next_frontier, rnd),
+            lambda: self.storage.write_round(
+                "metrics", metrics_df, rnd, cluster_by=None, num_files=1
+            ),
+            _deferred_count,
+        )
+        tick("frontier_metrics_parallel_write")
         self.storage.save_filters(rnd, self.bloom.to_blobs(), self.cuckoo.to_bytes())
         # next snapshot size is already known arithmetically — no read-back job
         next_size = m.skipped_politeness + m.new_urls + (
