@@ -186,6 +186,33 @@ def q_metrics_agg(spark, sf_dir):
     )
 
 
+def q_join3_revenue(spark, sf_dir):
+    """3-way join (customer ⋈ orders ⋈ lineitem) + decimal-exact revenue —
+    the join-reordering / broadcast-selection surface of §4."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1.0).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                ).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 def q_metrics_rollup(spark, sf_dir):
     return (
         _t(spark, sf_dir, "documents")
@@ -349,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perhost_topk": q_perhost_topk,
         "politeness_clock": q_politeness_clock,
         "metrics_agg": q_metrics_agg,
+        "join3_revenue": q_join3_revenue,
         "metrics_rollup": q_metrics_rollup,
         "span_explode": q_span_explode,
         "distinct_langs": q_distinct_langs,
@@ -418,6 +446,16 @@ def oracle_sql() -> dict[str, str]:
             "  (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
             "  AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join3_revenue": (
+            "SELECT c.c_custkey, c.c_mktsegment,"
+            " COUNT(DISTINCT o.o_orderkey) AS n_orders,"
+            " CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) *"
+            "  (CAST(1.0 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))"
+            "  AS DECIMAL(28,4))) AS DOUBLE) AS revenue"
+            " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+            " JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+            " GROUP BY c.c_custkey, c.c_mktsegment"
         ),
         "metrics_rollup": (
             "SELECT lang, source, GROUPING(lang, source) AS g, COUNT(*) AS n_docs,"

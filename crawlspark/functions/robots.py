@@ -25,8 +25,37 @@ def path_of(url_canon: str) -> str:
     return rest[i:] if i >= 0 else "/"
 
 
+def _pattern_matches(path: str, pattern: str) -> bool:
+    """RFC 9309 §2.2.2 pattern match: literal prefix with `*` (any run of
+    characters) and a trailing `$` anchoring the end of the path."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    segs = pattern.split("*")
+    pos = 0
+    first = True
+    for seg in segs:
+        if first:
+            if not path.startswith(seg):
+                return False
+            pos = len(seg)
+            first = False
+        elif seg:
+            i = path.find(seg, pos)
+            if i == -1:
+                return False
+            pos = i + len(seg)
+    if anchored:
+        # last segment must reach the end (a trailing '*' always can)
+        return pos == len(path) if segs[-1] or len(segs) == 1 else True
+    return True
+
+
 def allowed(path: str, rules) -> bool:
-    """Longest-prefix-match Allow/Disallow; ties → Allow; no match → allow.
+    """RFC 9309 match: among matching rules the LONGEST pattern wins (length
+    counted on the pattern text, per §2.2.2's "most specific"), ties prefer
+    Allow; no match → allow. Patterns are prefixes, optionally with `*`
+    wildcards and a `$` end anchor.
 
     ``rules`` may be a list of dicts (oracle) or a numpy array of dicts (how
     Arrow hands an array<struct> column to a pandas UDF) — hence len(), not
@@ -38,7 +67,13 @@ def allowed(path: str, rules) -> bool:
     for r in rules:
         # r is a dict {"allow","prefix"} (oracle) or a Row (Spark join output)
         prefix = r["prefix"]
-        if prefix is not None and path.startswith(prefix):
+        if prefix is None:
+            continue
+        if ("*" in prefix or prefix.endswith("$")):
+            hit = _pattern_matches(path, prefix)
+        else:
+            hit = path.startswith(prefix)
+        if hit:
             plen = len(prefix)
             al = bool(r["allow"])
             if plen > best_len or (plen == best_len and al):

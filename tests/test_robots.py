@@ -81,3 +81,32 @@ def test_allowed_series_matches_scalar():
     rules = pd.Series([rules_a, rules_b, rules_b, rules_b])
     got = allowed_series(paths, rules)
     assert got.tolist() == [True, False, False, True]
+
+
+def test_wildcard_patterns():
+    """RFC 9309 §2.2.2: '*' spans any characters, '$' anchors the end."""
+    rules = [
+        {"allow": True, "prefix": "/"},
+        {"allow": False, "prefix": "/*.pdf$"},
+        {"allow": False, "prefix": "/private/*/drafts"},
+    ]
+    assert not allowed("/docs/report.pdf", rules)
+    assert allowed("/docs/report.pdf.html", rules)  # $ anchor holds
+    assert not allowed("/private/alice/drafts", rules)
+    assert not allowed("/private/alice/drafts/x", rules)  # prefix after match
+    assert allowed("/private/alice/published", rules)
+
+
+def test_wildcard_longest_pattern_wins():
+    rules = [
+        {"allow": False, "prefix": "/a/*"},
+        {"allow": True, "prefix": "/a/*/public"},
+    ]
+    assert allowed("/a/x/public", rules)
+    assert not allowed("/a/x/secret", rules)
+
+
+def test_dollar_only_and_star_only():
+    assert not allowed("/", [{"allow": False, "prefix": "/$"}])
+    assert allowed("/x", [{"allow": False, "prefix": "/$"}])
+    assert not allowed("/anything", [{"allow": False, "prefix": "/*"}])
