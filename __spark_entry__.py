@@ -231,6 +231,34 @@ def q_span_explode(spark, sf_dir):
     )
 
 
+def q_span_pipeline(spark, sf_dir):
+    """Contract-input pipeline (BASELINE.json:15): build an interleaved
+    text/media span table from flat documents, flatten it back (F4
+    posexplode), aggregate per span kind — exercising the exact
+    array<struct<kind,text,media_ref,offset>> shape the crawl emits."""
+    docs = _t(spark, sf_dir, "documents")
+    spandocs = docs.select(
+        "doc_id",
+        F.expr(
+            "array("
+            " named_struct('kind','text','text',text,"
+            "  'media_ref',CAST(NULL AS STRING),'offset',0),"
+            " named_struct('kind','media','text',CAST(NULL AS STRING),"
+            "  'media_ref',concat('img://',cast(doc_id as string)),'offset',1))"
+        ).alias("spans"),
+    )
+    return (
+        spandocs.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .select("doc_id", F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"))
+        .groupBy("kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.length(F.coalesce("text", F.lit("")))).alias("text_chars"),
+        )
+    )
+
+
 def q_distinct_langs(spark, sf_dir):
     return _t(spark, sf_dir, "documents").agg(
         F.countDistinct("lang").alias("n_langs"),
@@ -379,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join3_revenue": q_join3_revenue,
         "metrics_rollup": q_metrics_rollup,
         "span_explode": q_span_explode,
+        "span_pipeline": q_span_pipeline,
         "distinct_langs": q_distinct_langs,
         "json_props": q_json_props,
         "window_lag_delta": q_window_lag_delta,
@@ -464,6 +493,17 @@ def oracle_sql() -> dict[str, str]:
         "span_explode": (
             "SELECT vec_id, unnest(range(len(embedding))) AS pos,"
             " unnest(embedding) AS val FROM embeddings"
+        ),
+        "span_pipeline": (
+            "WITH spandocs AS (SELECT doc_id, ["
+            " struct_pack(kind := 'text', text := text,"
+            "  media_ref := CAST(NULL AS VARCHAR), \"offset\" := 0),"
+            " struct_pack(kind := 'media', text := CAST(NULL AS VARCHAR),"
+            "  media_ref := 'img://' || CAST(doc_id AS VARCHAR), \"offset\" := 1)"
+            " ] AS spans FROM documents)"
+            " SELECT s.kind, COUNT(*) AS n_spans,"
+            " SUM(length(coalesce(s.text,''))) AS text_chars"
+            " FROM spandocs, UNNEST(spans) AS t(s) GROUP BY s.kind"
         ),
         "distinct_langs": (
             "SELECT COUNT(DISTINCT lang) AS n_langs,"

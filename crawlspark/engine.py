@@ -434,7 +434,12 @@ class CrawlEngine:
                 -(-m.frontier_size // cfg.fetch_rows_per_partition),
             ),
         )
-        salt_n = max(4, fetch_parts // 4)
+        # salt cardinality must be MUCH larger than the partition count:
+        # with only ~fetch_parts salts a hot host maps to ~fetch_parts keys
+        # and balls-in-bins collisions leave 2-3x stragglers (measured);
+        # 64x oversalting gives each host ~64 keys per partition so the
+        # per-partition key-count variance (std ~ sqrt(keys)) stays small
+        salt_n = fetch_parts * 64
         admitted = admitted.withColumn(
             "salt", F.pmod(F.xxhash64("url_canon"), F.lit(salt_n))
         ).repartition(fetch_parts, "host_hash", "salt")

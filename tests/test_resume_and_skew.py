@@ -104,3 +104,42 @@ def test_deletable_ban_equality(spark, tmp_path):
     store = CrawlStorage(spark, tmp_path / "ban")
     summary = CrawlEngine(spark, cfg, store).run(seeds)
     _assert_matches_oracle(store, summary, cfg, seeds)
+
+
+def test_salting_balances_hot_host_partitions(spark):
+    """G3 physical check (SURVEY.md §5 layer 5): with one host holding 50%
+    of URLs, a plain host partition has a 0.5-fraction straggler; the
+    (host_hash, salt) repartition must spread the hot host's rows so the
+    max/mean partition ratio stays bounded."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn(
+            "host",
+            F.when(F.col("id") % 2 == 0, F.lit("hot.example")).otherwise(
+                F.format_string("host%03d.example", (F.col("id") % 100))
+            ),
+        )
+        .withColumn("url_canon", F.format_string("http://%s/p%d", "host", "id"))
+        .withColumn("host_hash", F.pmod(F.xxhash64("host"), F.lit(32)).cast("int"))
+    )
+    parts = 16
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64("url_canon"), F.lit(parts * 64))
+    ).repartition(parts, "host_hash", "salt")
+    sizes = [
+        r["count"]
+        for r in salted.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    ]
+    assert len(sizes) == parts
+    ratio = max(sizes) / (n / parts)
+    assert ratio < 1.6, f"salted partitions still skewed: {sizes}"
+    # and the unsalted layout really is pathological (sanity of the fixture)
+    unsalted = df.repartition(parts, "host_hash")
+    u_sizes = [
+        r["count"]
+        for r in unsalted.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    ]
+    assert max(u_sizes) / (n / parts) > 4.0
