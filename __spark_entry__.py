@@ -231,6 +231,30 @@ def q_span_explode(spark, sf_dir):
     )
 
 
+def q_edges_degree(spark, sf_dir):
+    """Link-graph out-degree rendering (G2): per-customer order counts
+    INCLUDING zero-degree nodes (left join + count of non-nulls)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("degree"))
+    )
+
+
+def q_set_except(spark, sf_dir):
+    """Set difference (U-series / §2.9): nations present in `nation` but
+    having no customers — exceptAll over key projections."""
+    nations = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    with_cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    return nations.exceptAll(with_cust)
+
+
 def q_span_pipeline(spark, sf_dir):
     """Contract-input pipeline (BASELINE.json:15): build an interleaved
     text/media span table from flat documents, flatten it back (F4
@@ -408,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": q_metrics_rollup,
         "span_explode": q_span_explode,
         "span_pipeline": q_span_pipeline,
+        "edges_degree": q_edges_degree,
+        "set_except": q_set_except,
         "distinct_langs": q_distinct_langs,
         "json_props": q_json_props,
         "window_lag_delta": q_window_lag_delta,
@@ -493,6 +519,16 @@ def oracle_sql() -> dict[str, str]:
         "span_explode": (
             "SELECT vec_id, unnest(range(len(embedding))) AS pos,"
             " unnest(embedding) AS val FROM embeddings"
+        ),
+        "edges_degree": (
+            "SELECT c.c_custkey, COUNT(o.o_orderkey) AS degree"
+            " FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+            " GROUP BY c.c_custkey"
+        ),
+        "set_except": (
+            "SELECT n_nationkey AS nationkey FROM nation"
+            " EXCEPT ALL"
+            " SELECT DISTINCT c_nationkey AS nationkey FROM customer"
         ),
         "span_pipeline": (
             "WITH spandocs AS (SELECT doc_id, ["
