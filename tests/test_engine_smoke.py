@@ -85,3 +85,12 @@ def test_metrics_totals_match_tables(crawl):
     _, storage, _, summary = crawl
     docs_n = storage.read_table("documents").count()
     assert summary["totals"]["fetched"] == docs_n
+
+
+def test_empty_and_invalid_seed_lists(spark, tmp_path):
+    """Degenerate inputs: no seeds / only invalid (non-http, malformed)
+    seeds must bootstrap an empty frontier and exhaust immediately."""
+    cfg = CrawlConfig(web_hosts=4, shuffle_partitions=4, max_rounds=3)
+    eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path / "a"))
+    summary = eng.run(["ftp://x.example/a", "not a url", "mailto:a@b", ""])
+    assert summary["exhausted"] and summary["totals"].get("fetched", 0) == 0
