@@ -514,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "metrics_rollup": (
             "SELECT lang, source, GROUPING(lang, source) AS g, COUNT(*) AS n_docs,"
-            " SUM(n_chars) AS sum_chars FROM documents GROUP BY ROLLUP(lang, source)"
+            " CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY ROLLUP(lang, source)"
         ),
         "span_explode": (
             "SELECT vec_id, unnest(range(len(embedding))) AS pos,"
@@ -538,7 +538,7 @@ def oracle_sql() -> dict[str, str]:
             "  media_ref := 'img://' || CAST(doc_id AS VARCHAR), \"offset\" := 1)"
             " ] AS spans FROM documents)"
             " SELECT s.kind, COUNT(*) AS n_spans,"
-            " SUM(length(coalesce(s.text,''))) AS text_chars"
+            " CAST(SUM(length(coalesce(s.text,''))) AS BIGINT) AS text_chars"
             " FROM spandocs, UNNEST(spans) AS t(s) GROUP BY s.kind"
         ),
         "distinct_langs": (
@@ -547,7 +547,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "json_props": (
             "SELECT event_type, COUNT(*) AS n_events,"
-            " SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k"
+            " CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k"
             " FROM events GROUP BY event_type"
         ),
         "window_lag_delta": (
@@ -557,8 +557,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionize": (
             "SELECT user_id, event_id,"
-            " SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-            "  ROWS UNBOUNDED PRECEDING) AS session_id FROM ("
+            " CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM ("
             " SELECT user_id, event_id, ts,"
             "  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL"
             "   OR date_diff('microsecond', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000"

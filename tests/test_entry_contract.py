@@ -34,6 +34,32 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _canon_cell(v) -> str:
+    """Render a cell the way a value-hasher sees it: type-faithful.
+
+    An int 123 and a float 123.0 render differently on purpose — the driver's
+    value-hash distinguishes them (that is exactly how round 1's DuckDB
+    HUGEINT-vs-BIGINT bug escaped a check_dtype=False comparison).
+    """
+    import numpy as np
+
+    if v is None or (isinstance(v, float) and v != v):
+        return "∅"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_frame(pdf: pd.DataFrame) -> list[list[str]]:
+    return [[_canon_cell(v) for v in row] for row in pdf.itertuples(index=False)]
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()
@@ -55,7 +81,9 @@ def test_query_matches_duckdb(name, spark, duck):
     want = _normalize(duck.execute(ORACLE[name]).df())
     assert list(got.columns) == list(want.columns), (got.columns, want.columns)
     assert len(got) == len(want)
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    got_c, want_c = _canon_frame(got), _canon_frame(want)
+    for i, (g, w) in enumerate(zip(got_c, want_c)):
+        assert g == w, f"{name} row {i}: spark={g} oracle={w}"
 
 
 @pytest.mark.parametrize("name", sorted(set(ALL) - set(ORACLE)))
