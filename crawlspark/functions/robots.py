@@ -27,28 +27,34 @@ def path_of(url_canon: str) -> str:
 
 def _pattern_matches(path: str, pattern: str) -> bool:
     """RFC 9309 §2.2.2 pattern match: literal prefix with `*` (any run of
-    characters) and a trailing `$` anchoring the end of the path."""
+    characters) and a trailing `$` anchoring the end of the path.
+
+    Leftmost (greedy-first) matching of the middle segments is complete for
+    this wildcard language; the LAST segment of a $-anchored pattern must be
+    matched as a path *suffix* (starting at or after the position the middle
+    segments reached), not at its first occurrence — `/a.pdf.pdf` matches
+    `/*.pdf$` even though the first `.pdf` occurrence is not at the end."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
     segs = pattern.split("*")
-    pos = 0
-    first = True
-    for seg in segs:
-        if first:
-            if not path.startswith(seg):
-                return False
-            pos = len(seg)
-            first = False
-        elif seg:
+    if not path.startswith(segs[0]):
+        return False
+    if len(segs) == 1:
+        return path == segs[0] if anchored else True
+    pos = len(segs[0])
+    last = segs[-1]
+    for seg in segs[1:-1]:
+        if seg:
             i = path.find(seg, pos)
             if i == -1:
                 return False
             pos = i + len(seg)
-    if anchored:
-        # last segment must reach the end (a trailing '*' always can)
-        return pos == len(path) if segs[-1] or len(segs) == 1 else True
-    return True
+    if not anchored:
+        return (not last) or path.find(last, pos) != -1
+    if not last:  # trailing '*' absorbs the rest
+        return True
+    return path.endswith(last) and len(path) - len(last) >= pos
 
 
 def allowed(path: str, rules) -> bool:

@@ -110,3 +110,19 @@ def test_dollar_only_and_star_only():
     assert not allowed("/", [{"allow": False, "prefix": "/$"}])
     assert allowed("/x", [{"allow": False, "prefix": "/$"}])
     assert not allowed("/anything", [{"allow": False, "prefix": "/*"}])
+
+
+def test_anchored_repeated_suffix():
+    """$-anchored patterns whose final literal occurs more than once must
+    match via the *last* occurrence, not the first (greedy-first-occurrence
+    scanning wrongly rejected these in round 1)."""
+    from crawlspark.functions.robots import _pattern_matches
+
+    assert _pattern_matches("/a.pdf.pdf", "/*.pdf$")
+    assert _pattern_matches("/axbxb", "/a*b$")
+    assert not _pattern_matches("/a.pdfx", "/*.pdf$")
+    assert _pattern_matches("/abb", "/a*b*b$")
+    assert not _pattern_matches("/ab", "/a*b*b$")
+    assert not _pattern_matches("/ab", "/a*ab$")  # suffix may not overlap prefix
+    assert _pattern_matches("/fish.php?id=anything", "/fish*.php")
+    assert not allowed("/a.pdf.pdf", [{"allow": False, "prefix": "/*.pdf$"}])
