@@ -38,7 +38,6 @@ and happens after admission.
 from __future__ import annotations
 
 import time
-import uuid
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -47,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawlspark.config import BLOOM_FP_RATE, CrawlConfig
-from crawlspark.filters import CuckooFilter, PartitionedBloom
+from crawlspark.filters import CuckooFilter
 from crawlspark.functions.canon import canonicalize_udf, resolve_udf, with_url_identity
 from crawlspark.functions.robots import allowed_series, path_of
 from crawlspark.sources import synthweb
@@ -119,8 +118,9 @@ def _signed64(v: int) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-# Per-python-worker cache of deserialized filter structures (keyed by a token
-# minted with each broadcast), so Arrow batches after the first are pure probes.
+# Per-python-worker cache of deserialized filter structures. Bloom blobs are
+# keyed by their immutable (sidecar-path, round, bucket) identity, so entries
+# stay valid across rounds; Arrow batches after the first are pure probes.
 _WORKER_CACHE: dict = {}
 
 
@@ -151,9 +151,13 @@ class CrawlEngine:
         self.spark = spark
         self.cfg = cfg
         self.storage = storage
-        self.bloom = PartitionedBloom(
-            cfg.num_host_buckets, self._bloom_capacity(), BLOOM_FP_RATE
-        )
+        # A3/A5 driver-side Bloom state is ONLY an int index
+        # {bucket: round of its latest merged blob parquet}: the blobs
+        # themselves live in the _filters/bloom sidecar and are read
+        # bucket-addressed by the executors that own the bucket. At the
+        # 10^10 design point the index is O(num_buckets) ints where the
+        # blob bytes are ~12 GB (filters.py docstring math).
+        self._bloom_index: dict[int, int] = {}
         self.cuckoo = CuckooFilter(capacity=max(64, cfg.web_hosts * 4))
         self.history: list[RoundMetrics] = []
 
@@ -207,27 +211,58 @@ class CrawlEngine:
             for h in self._banned_hosts():
                 self.cuckoo.delete(_signed64(synthweb.stable_hash("host:" + h, self.cfg.seed)))
 
-    def _bloom_probe_udf(self):
-        blobs = self.bloom.to_blobs()
-        bc = self.spark.sparkContext.broadcast(blobs)
-        nb, cap = self.cfg.num_host_buckets, self._bloom_capacity()
-        token = uuid.uuid4().hex  # worker-side cache key: one rebuild per
-        # executor per round, not one per Arrow batch
+    def _with_maybe_seen(self, cand: DataFrame) -> DataFrame:
+        """A3 Bloom prefilter, partition-addressable: candidates are
+        co-partitioned with the filter by host-hash bucket, and each task
+        loads only its buckets' merged blobs from the sidecar parquet
+        (executor-cached under the immutable (round, bucket) key — a blob
+        file is never rewritten, so cache entries never invalidate). The
+        driver broadcasts ONLY the int index {bucket: latest_round}.
 
-        @F.pandas_udf("boolean")
-        def _maybe_seen(host_hash: pd.Series, url_hash: pd.Series) -> pd.Series:
-            p = _WORKER_CACHE.get(token)
-            if p is None:
-                p = PartitionedBloom.from_blobs(bc.value, nb, cap, BLOOM_FP_RATE)
-                if len(_WORKER_CACHE) > 4:
-                    _WORKER_CACHE.clear()
-                _WORKER_CACHE[token] = p
-            return pd.Series(
-                p.probe(host_hash.to_numpy(), url_hash.to_numpy()),
-                index=host_hash.index,
-            )
+        The repartition by host_hash doubles as the co-location the exact
+        anti-join (A2) wants on its probe side: HashPartitioning(host_hash)
+        satisfies the join's ClusteredDistribution(host_hash, url_hash), and
+        per-executor filter memory is the executor's bucket share, not the
+        whole structure."""
+        idx = {int(b): int(r) for b, r in self._bloom_index.items()}
+        bc = self.spark.sparkContext.broadcast(idx)
+        base = self.storage.bloom_base_path()
+        out_schema = T.StructType(
+            list(cand.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+        )
 
-        return _maybe_seen
+        def probe(batches):
+            import numpy as np
+
+            from crawlspark.filters import load_bucket_blob
+
+            for pdf in batches:
+                res = np.zeros(len(pdf), dtype=bool)
+                if len(pdf):
+                    hh = pdf["host_hash"].to_numpy()
+                    uh = pdf["url_hash"].to_numpy()
+                    for b in np.unique(hh):
+                        r = bc.value.get(int(b))
+                        if r is None:
+                            continue  # bucket has no blob yet -> definitely new
+                        key = ("bloomblob", base, r, int(b))
+                        hit = _WORKER_CACHE.get(key)
+                        if hit is None:
+                            if len(_WORKER_CACHE) > 512:
+                                _WORKER_CACHE.clear()
+                            hit = _WORKER_CACHE[key] = (
+                                load_bucket_blob(base, r, int(b)),
+                            )
+                        f = hit[0]
+                        if f is not None:
+                            m = hh == b
+                            res[m] = f.contains_many(uh[m])
+                out = pdf.copy()
+                out["maybe_seen"] = res
+                yield out
+
+        parts = max(4, min(self.cfg.shuffle_partitions, self.cfg.num_host_buckets))
+        return cand.repartition(parts, "host_hash").mapInPandas(probe, out_schema)
 
     def _admission_flags_udf(self):
         """Fused A4 cuckoo ban probe + R2 robots path match: one Arrow
@@ -295,51 +330,52 @@ class CrawlEngine:
         )
         self.storage.write_round("seen", seen0, 0)
         # A5: Bloom sidecar from round-0 seen
-        self._fold_into_bloom(self.storage.read_round("seen", 0))
+        self._fold_into_bloom(self.storage.read_round("seen", 0), 0)
         self._refresh_cuckoo(0)
-        self.storage.save_filters(0, self.bloom.to_blobs(), self.cuckoo.to_bytes())
+        self.storage.save_filters(0, dict(self._bloom_index), self.cuckoo.to_bytes())
         n = self.storage.read_round("frontier", 0).count()
         self.storage.commit_manifest(
             0, {"phase": "bootstrap", "frontier_size": n, "totals": {"seen": n}}
         )
 
-    def _fold_into_bloom(self, seen_rows: DataFrame) -> None:
-        """A5: build per-host-hash-bucket Bloom blobs distributed
-        (applyInPandas), collect the ≤num_buckets small blobs, OR-merge into
-        the driver's cumulative partitioned filter.
-
-        Scale path: at 10^4 buckets × O(100KB) blobs the full dict no longer
-        belongs on the driver or in one broadcast — the sidecars then live in
-        a blob table keyed by bucket, executors of bucket b read only blob b
-        (a storage-partitioned map-side join), and the OR-merge happens in
-        the same applyInPandas pass. The sandbox keeps the broadcast-dict
-        rendering because every bucket fits comfortably."""
+    def _fold_into_bloom(self, seen_rows: DataFrame, rnd: int) -> None:
+        """A5: fold the round's new (host_hash, url_hash) rows into the
+        per-bucket Bloom sidecar, fully distributed: each applyInPandas task
+        loads its OWN bucket's previous merged blob from the sidecar parquet
+        (round pointed to by the broadcast int index), ORs in the new hashes,
+        and emits the new merged blob; Spark executors write the result back
+        as this round's blob parquet. Filter bytes never transit the driver —
+        the only driver traffic is the list of touched bucket ids (ints, one
+        tiny column-pruned read-back) used to advance the index."""
         cap, fp = self._bloom_capacity(), BLOOM_FP_RATE
+        idx = {int(b): int(r) for b, r in self._bloom_index.items()}
+        bc = self.spark.sparkContext.broadcast(idx)
+        base = self.storage.bloom_base_path()
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            from crawlspark.filters import BloomFilter
+            from crawlspark.filters import BloomFilter, load_bucket_blob
 
-            f = BloomFilter(cap, fp)
+            b = int(pdf["host_hash"].iloc[0])
+            prev = bc.value.get(b)
+            f = load_bucket_blob(base, prev, b) if prev is not None else None
+            if f is None:
+                f = BloomFilter(cap, fp)
             f.add_many(pdf["url_hash"].to_numpy())
-            return pd.DataFrame(
-                {"host_hash": [int(pdf["host_hash"].iloc[0])], "blob": [f.to_bytes()]}
-            )
+            return pd.DataFrame({"host_hash": [b], "blob": [f.to_bytes()]})
 
-        blobs = (
+        blob_df = (
             seen_rows.select("host_hash", "url_hash")
             .groupBy("host_hash")
             .applyInPandas(build, "host_hash int, blob binary")
+        )
+        self.storage.write_bloom_round(blob_df, rnd)
+        touched = (
+            self.spark.read.parquet(self.storage.bloom_round_path(rnd))
+            .select("host_hash")
             .collect()
         )
-        from crawlspark.filters import BloomFilter
-
-        for row in blobs:
-            part = BloomFilter.from_bytes(bytes(row["blob"]))
-            cur = self.bloom.filters.get(row["host_hash"])
-            if cur is None:
-                self.bloom.filters[row["host_hash"]] = part
-            else:
-                cur.union_update(part)
+        for row in touched:
+            self._bloom_index[int(row[0])] = rnd
 
     # ------------------------------------------------------------- round
     def run_round(self, rnd: int) -> RoundMetrics:
@@ -533,17 +569,15 @@ class CrawlEngine:
             cand.withColumn("_rn", F.row_number().over(wdup))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-            .persist()
         )
-        m.candidates = edges.filter(F.col("p_depth") + 1 <= cfg.max_depth).count()
         tick("candidates_dedup")
 
-        # A3 Bloom prefilter → A2 exact anti-join backstop
-        cand = cand.withColumn(
-            "maybe_seen", self._bloom_probe_udf()(F.col("host_hash"), F.col("url_hash"))
-        )
-        definitely_new = cand.filter(~F.col("maybe_seen"))
-        maybe = cand.filter(F.col("maybe_seen"))
+        # A3 Bloom prefilter → A2 exact anti-join backstop. The probe is
+        # co-partitioned with the sidecar blobs by host_hash and persisted so
+        # both branches read one materialization.
+        cand = self._with_maybe_seen(cand).persist()
+        definitely_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = cand.filter(F.col("maybe_seen")).drop("maybe_seen")
         seen = self.storage.read_table("seen", upto_round=rnd - 1).select(
             "host_hash", "url_hash"
         )
@@ -557,7 +591,7 @@ class CrawlEngine:
         )
         self.storage.write_round("seen", seen_add, rnd)
         tick("seen_antijoin_write")
-        self._fold_into_bloom(self.storage.read_round("seen", rnd))
+        self._fold_into_bloom(self.storage.read_round("seen", rnd), rnd)
         tick("bloom_fold")
 
         # U1: next frontier snapshot = deferred ∪ banned-deferred ∪ new
@@ -567,29 +601,41 @@ class CrawlEngine:
             .unionByName(new.select(*FRONTIER_COLS))
         )
         # G1 metrics + final sinks: everything below reads materialized
-        # caches, so frontier write, metrics write and the lagging counters
-        # run as concurrent jobs (driver-side pipelining again)
-        m.new_urls = new.count()
-        m.deduped = m.candidates - m.new_urls
+        # caches, so the frontier write, the metrics write and the lagging
+        # counters run as concurrent jobs (driver-side pipelining again).
+        # candidates/new/deferred counts are ONE tagged-union job over three
+        # cached dataframes, not three jobs — per-round driver actions are
+        # real fixed cost in local mode and pure overhead at small rounds.
         metrics_df = self._metrics_df(rnd, fetched, disallowed, deferred, new)
 
-        def _deferred_count() -> None:
-            m.skipped_politeness = int(
-                ranked.agg(
-                    F.sum((F.col("host_rank") > F.col("host_budget")).cast("long"))
-                ).first()[0]
-                or 0
+        def _lagging_counts() -> None:
+            rows = (
+                edges.filter(F.col("p_depth") + 1 <= cfg.max_depth)
+                .select(F.lit("cand").alias("k"))
+                .unionByName(new.select(F.lit("new").alias("k")))
+                .unionByName(
+                    ranked.filter(F.col("host_rank") > F.col("host_budget"))
+                    .select(F.lit("def").alias("k"))
+                )
+                .groupBy("k")
+                .count()
+                .collect()
             )
+            counts = {r["k"]: int(r["count"]) for r in rows}
+            m.candidates = counts.get("cand", 0)
+            m.new_urls = counts.get("new", 0)
+            m.skipped_politeness = counts.get("def", 0)
 
         _parallel(
             lambda: self.storage.write_round("frontier", next_frontier, rnd),
             lambda: self.storage.write_round(
                 "metrics", metrics_df, rnd, cluster_by=None, num_files=1
             ),
-            _deferred_count,
+            _lagging_counts,
         )
+        m.deduped = m.candidates - m.new_urls
         tick("frontier_metrics_parallel_write")
-        self.storage.save_filters(rnd, self.bloom.to_blobs(), self.cuckoo.to_bytes())
+        self.storage.save_filters(rnd, dict(self._bloom_index), self.cuckoo.to_bytes())
         # next snapshot size is already known arithmetically — no read-back job
         next_size = m.skipped_politeness + m.new_urls + (
             m.skipped_banned if cfg.unban_round is not None else 0
@@ -657,14 +703,11 @@ class CrawlEngine:
             start = 1
         else:
             start = latest["round"] + 1
-            blobs = self.storage.load_filters(latest["round"])
-            self.bloom = PartitionedBloom.from_blobs(
-                blobs["bloom"],
-                self.cfg.num_host_buckets,
-                self._bloom_capacity(),
-                BLOOM_FP_RATE,
-            )
-            self.cuckoo = CuckooFilter.from_bytes(blobs["cuckoo"])
+            state = self.storage.load_filters(latest["round"])
+            self._bloom_index = {
+                int(b): int(r) for b, r in state["bloom_index"].items()
+            }
+            self.cuckoo = CuckooFilter.from_bytes(state["cuckoo"])
 
         rounds_run = 0
         last = start - 1

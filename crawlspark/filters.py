@@ -16,10 +16,13 @@ shuffle join against a 10^10-row seen set.
 
 Scale design: ONE filter per host-hash bucket, not one global filter. At a
 10^10-URL frontier a single 1% FP Bloom is ~12 GB — too big to broadcast —
-but per-bucket filters are (a) individually small enough to broadcast to the
-executors that own that bucket, (b) rebuilt incrementally per round from only
-that bucket's new hashes (A5), and (c) partition-addressable for checkpoint
-lineage. In this sandbox all buckets are broadcast together as one dict.
+but per-bucket filters are (a) individually small enough for the executors
+that own that bucket to load directly, (b) folded incrementally per round
+from only that bucket's new hashes (A5), and (c) partition-addressable for
+checkpoint lineage. The blobs live in a parquet sidecar written and read by
+executors (`load_bucket_blob`); the driver carries only the int index
+{bucket: latest_round} — filter bytes never transit the driver or a
+whole-structure broadcast (engine._fold_into_bloom / _with_maybe_seen).
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import math
 
 import numpy as np
 
-__all__ = ["BloomFilter", "CuckooFilter", "PartitionedBloom"]
+__all__ = ["BloomFilter", "CuckooFilter", "PartitionedBloom", "load_bucket_blob"]
 
 _GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
 
@@ -154,6 +157,24 @@ class PartitionedBloom:
         p = cls(num_buckets, capacity_per_bucket, fp_rate)
         p.filters = {int(b): BloomFilter.from_bytes(v) for b, v in blobs.items()}
         return p
+
+
+def load_bucket_blob(bloom_base: str, rnd: int, bucket: int) -> "BloomFilter | None":
+    """Executor-side read of ONE bucket's merged Bloom blob from the sidecar
+    parquet written at round ``rnd`` (storage.write_bloom_round). This is the
+    map-side half of the partition-addressable design: a task that owns
+    bucket b reads only blob b — filter bytes never transit the driver or a
+    whole-dict broadcast. pyarrow dataset filtering prunes to the matching
+    row (blob files are written clustered by host_hash)."""
+    import pyarrow.dataset as pds
+
+    dset = pds.dataset(f"{bloom_base}/round={rnd:05d}", format="parquet")
+    tbl = dset.to_table(
+        columns=["blob"], filter=pds.field("host_hash") == int(bucket)
+    )
+    if tbl.num_rows == 0:
+        return None
+    return BloomFilter.from_bytes(tbl.column("blob")[0].as_py())
 
 
 class CuckooFilter:

@@ -98,14 +98,32 @@ class CrawlStorage:
         return json.loads(p.read_text()) if p.exists() else None
 
     # ----------------------------------------------------- filter sidecars
-    def save_filters(self, rnd: int, bloom_blobs: dict[int, bytes],
+    def bloom_round_path(self, rnd: int) -> str:
+        """Directory of the per-bucket Bloom blob parquet for round ``rnd``
+        (columns host_hash:int, blob:binary — the MERGED cumulative filter of
+        every bucket the round touched)."""
+        return str(self.root / "_filters" / "bloom" / f"round={rnd:05d}")
+
+    def bloom_base_path(self) -> str:
+        return str(self.root / "_filters" / "bloom")
+
+    def write_bloom_round(self, blob_df: DataFrame, rnd: int) -> None:
+        """A5: persist the round's merged per-bucket blobs, written by the
+        fold job's executors — filter bytes never pass through the driver.
+        Overwrite-idempotent like every round dir (exact-resume)."""
+        blob_df.write.mode("overwrite").parquet(self.bloom_round_path(rnd))
+
+    def save_filters(self, rnd: int, bloom_index: dict[int, int],
                      cuckoo_blob: bytes) -> str:
-        """A5/S6: checkpoint the partition-addressable Bloom sidecars and the
-        cuckoo ban filter alongside the round manifest."""
+        """A5/S6: checkpoint the tiny driver-side filter state alongside the
+        round manifest: the Bloom *index* (bucket → round of its latest
+        merged blob parquet — ints only, the blobs themselves stay in
+        ``_filters/bloom/round=*``) and the cuckoo ban filter (host-level,
+        O(hosts-banned) bytes)."""
         path = self.root / "_filters" / f"round-{rnd:05d}.pkl"
         tmp = path.with_suffix(".tmp")
         with open(tmp, "wb") as f:
-            pickle.dump({"bloom": bloom_blobs, "cuckoo": cuckoo_blob}, f)
+            pickle.dump({"bloom_index": bloom_index, "cuckoo": cuckoo_blob}, f)
         os.replace(tmp, path)
         return str(path)
 

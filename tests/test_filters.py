@@ -79,3 +79,55 @@ def test_cuckoo_fp_rate_and_roundtrip():
     assert f.contains_many(probe).mean() < 0.01
     g = CuckooFilter.from_bytes(f.to_bytes())
     assert g.contains_many(keys).all()
+
+
+def test_bloom_sidecar_distributed_fold(spark, tmp_path):
+    """A5 distributed fold: per-bucket blobs are persisted as parquet rounds
+    by executors (never collected to the driver), each round's blob is the
+    cumulative merge, the probe answers from the bucket-addressed sidecar,
+    and the driver index holds only ints."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.filters import load_bucket_blob
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(num_host_buckets=4, shuffle_partitions=4)
+    storage = CrawlStorage(spark, tmp_path)
+    eng = CrawlEngine(spark, cfg, storage)
+
+    def seen_df(hashes, bucket):
+        pdf = pd.DataFrame(
+            {
+                "host_hash": np.full(len(hashes), bucket, dtype=np.int32),
+                "url_hash": np.asarray(hashes, dtype=np.int64),
+                "url_canon": [f"http://h{bucket}.example/{h}" for h in hashes],
+                "first_round": np.zeros(len(hashes), dtype=np.int32),
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    r0 = list(range(1000, 1100))
+    r1 = list(range(5000, 5050))
+    eng._fold_into_bloom(seen_df(r0, bucket=2), 0)
+    assert eng._bloom_index == {2: 0}
+    eng._fold_into_bloom(seen_df(r1, bucket=2), 1)
+    assert eng._bloom_index == {2: 1}
+    assert all(isinstance(k, int) and isinstance(v, int)
+               for k, v in eng._bloom_index.items())
+
+    # round-1 blob is the MERGE: contains both rounds' hashes (no FN)
+    f = load_bucket_blob(storage.bloom_base_path(), 1, 2)
+    assert f.contains_many(np.asarray(r0 + r1, dtype=np.int64)).all()
+    # bucket-addressed read of an absent bucket
+    assert load_bucket_blob(storage.bloom_base_path(), 1, 3) is None
+
+    # probe path: seen hashes flagged maybe_seen, fresh ones pass through
+    cand = seen_df(r0[:10] + [999_999_999], bucket=2).withColumnRenamed(
+        "first_round", "depth"
+    )
+    probed = eng._with_maybe_seen(cand).toPandas().sort_values("url_hash")
+    flags = dict(zip(probed["url_hash"], probed["maybe_seen"]))
+    assert all(flags[h] for h in r0[:10])  # Bloom has no false negatives
