@@ -111,9 +111,12 @@ def lsh_candidate_pairs(
     with the MinHash Jaccard estimate (fraction of equal signature slots).
     Pure DataFrame ops: posexplode + self-join + zip_with aggregate."""
     r = num_perm // bands
+    # Band rows carry ONLY (id, band, band_hash): the banding join shuffles
+    # 20 bytes per row, never the 64x8-byte signature (that claim is pinned
+    # by test_lsh_band_join_is_key_only). Signatures re-attach below, once
+    # per DISTINCT candidate pair, not once per band collision.
     banded = sig_df.select(
         F.col(id_col).alias("id"),
-        "minhash",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -130,22 +133,27 @@ def lsh_candidate_pairs(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.minhash").alias("sig_a"),
-            F.col("r.minhash").alias("sig_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.withColumn(
-        "est_jaccard",
-        F.expr(
-            "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
-            "0, (acc, v) -> acc + v)"
-        ).cast("double")
-        / F.lit(num_perm),
-    ).select("id_a", "id_b", "est_jaccard")
+    sigs = sig_df.select(F.col(id_col).alias("id"), "minhash")
+    return (
+        pairs.join(sigs.withColumnRenamed("minhash", "sig_a"),
+                   F.col("id_a") == F.col("id"))
+        .drop("id")
+        .join(sigs.withColumnRenamed("minhash", "sig_b"),
+              F.col("id_b") == F.col("id"))
+        .drop("id")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
+                "0, (acc, v) -> acc + v)"
+            ).cast("double")
+            / F.lit(num_perm),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
 
 
 def simhash_udf(seed: int = 42):
@@ -188,39 +196,107 @@ def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("simhash", simhash_udf()(F.col(text_col)))
 
 
+def _simhash_key_expr(num_blocks: int, choose: int) -> str:
+    """SQL array expression of the Manku-style multi-table keys (Manku,
+    Jain & Das Sarma, WWW 2007 [pub]): split 64 bits into ``num_blocks``
+    blocks; a pair within hamming h ≤ num_blocks - choose agrees on ≥ choose
+    blocks, so joining every C(num_blocks, choose) block-combination key is
+    exhaustive. Each key packs its blocks into one long (~32-bit keys for
+    6-choose-3), so bucket populations at 10^9-doc scale stay O(n/2^32) —
+    the round-1 16-bit chunks gave only 65,536 buckets per table and
+    ~10^8-candidate buckets."""
+    from itertools import combinations
+
+    width = 64 // num_blocks  # 64 % num_blocks high bits fold into block 0
+    offs, sizes = [], []
+    pos = 0
+    for i in range(num_blocks):
+        w = width + (64 - width * num_blocks if i == 0 else 0)
+        offs.append(pos)
+        sizes.append(w)
+        pos += w
+
+    def block(i: int) -> str:
+        mask = (1 << sizes[i]) - 1
+        return f"(shiftright(simhash, {offs[i]}) & {mask})"
+
+    keys = []
+    for combo in combinations(range(num_blocks), choose):
+        parts, shift = [], 0
+        for i in combo:
+            parts.append(f"(shiftleft({block(i)}, {shift}))")
+            shift += sizes[i]
+        keys.append(" | ".join(parts))
+    return "array(" + ", ".join(keys) + ")"
+
+
 def simhash_near_pairs(
     sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
-    Pigeonhole banding: split 64 bits into 4 chunks of 16; any pair within
-    hamming 3 agrees on ≥1 chunk → join only on (chunk_idx, chunk_value)."""
-    chunked = sim_df.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0,3), i -> shiftright(simhash, i*16) & 65535)"
-            )
-        ).alias("chunk_idx", "chunk_val"),
+
+    Two-level scale design:
+    - the banding join runs over DISTINCT signatures, so duplicate-heavy
+      corpora (the common case that motivates dedup) contribute one row per
+      signature to the candidate join, not a quadratic bucket;
+    - keys are block-combinations (6 choose 3 → 20 tables of ~32-bit keys
+      for hamming ≤ 3), exhaustive by pigeonhole: ≤3 dirty blocks leave ≥3
+      clean ones, and that exact combination collides.
+    Doc-level pairs are then expanded by joining ids back per signature;
+    identical-signature docs (hamming 0) pair within their signature group.
+    """
+    num_blocks = max_hamming + 3  # h dirty blocks still leave `choose` clean
+    choose = num_blocks - max_hamming
+    keyed = (
+        sim_df.select("simhash")
+        .distinct()
+        .select(
+            "simhash",
+            F.posexplode(F.expr(_simhash_key_expr(num_blocks, choose))).alias(
+                "tbl", "key"
+            ),
+        )
     )
-    l, r = chunked.alias("l"), chunked.alias("r")
-    return (
+    l, r = keyed.alias("l"), keyed.alias("r")
+    sig_pairs = (
         l.join(
             r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.simhash") < F.col("r.simhash")),
         )
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
             F.bit_count(
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["sig_a", "sig_b"])
     )
+    ids = sim_df.select(F.col(id_col).alias("id"), "simhash")
+    cross_sig = (
+        sig_pairs.join(ids.select(F.col("id").alias("id_a"),
+                                  F.col("simhash").alias("sig_a")), "sig_a")
+        .join(ids.select(F.col("id").alias("id_b"),
+                         F.col("simhash").alias("sig_b")), "sig_b")
+        .select("id_a", "id_b", "hamming")
+    )
+    same_sig = (
+        ids.alias("a")
+        .join(ids.alias("b"),
+              (F.col("a.simhash") == F.col("b.simhash"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.lit(0).alias("hamming"))
+    )
+    cross_sig = cross_sig.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "hamming",
+    )
+    return cross_sig.unionByName(same_sig).dropDuplicates(["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(

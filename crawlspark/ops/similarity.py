@@ -54,7 +54,7 @@ def brute_force_topk(
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
-    max_hamming: int = 8,
+    max_hamming: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -62,9 +62,17 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
     (Charikar 2002 [pub]) — 64 sign bits of projections onto seeded Gaussian
     hyperplanes pack into one BIGINT signature whose hamming distance
-    estimates the angle. Candidate pairs come from a 16-bit-chunk pigeonhole
-    join (key-only shuffle, like SimHash), then exact cosine verifies against
-    `threshold`. No candidate pair is trusted unverified."""
+    estimates the angle. Candidate pairs come from the same Manku-style
+    block-combination join as SimHash (C(h+3, 3) tables of wide packed keys,
+    exhaustive for hamming ≤ h by pigeonhole — dedup._simhash_key_expr), and
+    the banding shuffle carries only (id, signature, key): vectors re-attach
+    once per DISTINCT candidate pair for the exact cosine verify. No
+    candidate pair is trusted unverified.
+
+    Recall semantics: exhaustive in signature-hamming, probabilistic in
+    cosine — hamming/64 estimates angle/pi, so h=4 targets near-duplicates
+    (cos >= ~0.98); raise max_hamming (more, narrower tables) to chase
+    looser thresholds, or use brute_force_topk/ivf_topk for general ANN."""
 
     @F.pandas_udf("long")
     def _rh_sig(vecs: pd.Series) -> pd.Series:
@@ -87,40 +95,42 @@ def embedding_near_dup_pairs(
 
         return vecs.map(one)
 
+    from crawlspark.ops.dedup import _simhash_key_expr
+
+    num_blocks = max_hamming + 3
+    choose = num_blocks - max_hamming
     sig = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
-        _rh_sig(F.col(vec_col)).alias("simhash"),
+        F.col(id_col).alias("id"), _rh_sig(F.col(vec_col)).alias("simhash")
     )
-    chunked = sig.select(
+    keyed = sig.select(
         "id",
-        "vec",
         "simhash",
-        F.posexplode(
-            F.expr("transform(sequence(0,3), i -> shiftright(simhash, i*16) & 65535)")
-        ).alias("chunk_idx", "chunk_val"),
+        F.posexplode(F.expr(_simhash_key_expr(num_blocks, choose))).alias(
+            "tbl", "key"
+        ),
     )
-    l, r = chunked.alias("l"), chunked.alias("r")
+    l, r = keyed.alias("l"), keyed.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .filter(
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
             <= max_hamming
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.vec").alias("vec_a"),
-            F.col("r.vec").alias("vec_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return (
-        cand.withColumn("cos", F.expr(_cosine_expr("vec_a", "vec_b")))
+        cand.join(vecs.select(F.col("id").alias("id_a"),
+                              F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"),
+                          F.col("vec").alias("vec_b")), "id_b")
+        .withColumn("cos", F.expr(_cosine_expr("vec_a", "vec_b")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -132,18 +142,25 @@ def ivf_assign(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
-    """One-pass IVF index build: centroids = deterministic seed vectors
-    (every ⌈n/nlist⌉-th id — a k-means|| seeding stand-in that keeps the
-    build single-pass and fully reproducible); each vector joins its nearest
+    """One-pass IVF index build: centroids = deterministic hash-ordered
+    sample — the nlist vectors with the smallest xxhash64(id), a k-means||
+    seeding stand-in that is reproducible, makes no assumption about id
+    density/contiguity, and triggers no extra action (``orderBy ... limit``
+    plans as TakeOrderedAndProject: per-partition top-nlist, driver merge of
+    nlist rows — no full sort shuffle). Each vector then joins its nearest
     centroid. Returns (assigned_vectors, centroids)."""
-    n = vectors.count()
-    stride = max(1, n // nlist)
-    centroids = (
-        vectors.filter((F.col(id_col) % stride == 0) & (F.col(id_col) / stride < nlist))
-        .select(
-            (F.col(id_col) / stride).cast("int").alias("centroid_id"),
+    sampled = (
+        vectors.select(
+            F.col(id_col).alias("_cid_src"),
             F.col(vec_col).alias("centroid_vec"),
+            F.xxhash64(F.col(id_col)).alias("_h"),
         )
+        .orderBy("_h", "_cid_src")
+        .limit(nlist)
+    )
+    wc = Window.orderBy("_h", "_cid_src")  # nlist rows: single partition is fine
+    centroids = sampled.select(
+        (F.row_number().over(wc) - 1).alias("centroid_id"), "centroid_vec"
     )
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "cdist", F.expr(_cosine_expr(vec_col, "centroid_vec"))

@@ -90,6 +90,34 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall {recall:.2f} below floor"
 
 
+def test_ivf_on_noncontiguous_ids(spark):
+    """Centroid sampling must not assume dense/contiguous ids (the round-1
+    stride hack did): remap ids to a sparse set and require the same recall
+    floor — and the build must work on a filtered, gappy table."""
+    from crawlspark.ops.similarity import brute_force_topk, ivf_assign, ivf_topk
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") % 3 != 1)
+        .withColumn("vec_id", F.col("vec_id") * 1000 + 77)
+    )
+    queries = emb.limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    assigned, centroids = ivf_assign(emb, nlist=16)
+    assert centroids.count() == 16
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(assigned, centroids, queries, k=10, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} below floor on sparse ids"
+
+
 def test_lang_id_on_constructed_texts(spark):
     """The driver `documents.lang` column carries no textual signal (all
     fixture text is English-ish vocab regardless of label — verified), so
@@ -109,3 +137,33 @@ def test_lang_id_on_constructed_texts(spark):
     got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
     for i, _, want in samples:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_simhash_buckets_bounded_under_duplicates(spark):
+    """Scale guard: the simhash banding join runs over DISTINCT signatures,
+    so a duplicate-heavy corpus (100 copies of one doc) contributes ONE row
+    per signature per table to the candidate join — max bucket population is
+    bounded by distinct-signature collisions, not corpus size — while the
+    doc-level output still contains every duplicate pair."""
+    from crawlspark.ops.dedup import (
+        _simhash_key_expr,
+        simhash_near_pairs,
+        with_simhash,
+    )
+
+    rows = [(i, "the same exact duplicated document body " * 4) for i in range(100)]
+    rows += [(1000 + i, f"distinct text number {i} with filler words") for i in range(30)]
+    df = with_simhash(spark.createDataFrame(rows, "doc_id long, text string"))
+
+    keyed = (
+        df.select("simhash").distinct()
+        .select(F.posexplode(F.expr(_simhash_key_expr(6, 3))).alias("tbl", "key"))
+    )
+    max_bucket = (
+        keyed.groupBy("tbl", "key").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= 5, f"bucket blowup: {max_bucket}"
+
+    pairs = simhash_near_pairs(df, max_hamming=3)
+    n_same = pairs.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    assert n_same == 100 * 99 // 2  # every duplicate pair surfaces

@@ -86,3 +86,29 @@ def test_ann_brute_force_broadcasts_queries(spark):
     plan = _plan(brute_force_topk(emb, queries, k=5))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_band_join_is_key_only(spark):
+    """The LSH banding join must shuffle only (id, band, band_hash) — never
+    the 64-slot minhash array (ops/dedup.py docstring claim). Every exchange
+    that feeds the band-bucket join must not carry a minhash column; the
+    signatures re-attach in later joins keyed by the deduped pair ids."""
+    from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    out = lsh_candidate_pairs(with_minhash(docs))
+    plan = _plan(out)
+    # formatted explain: each Exchange node section lists Arguments with its
+    # partitioning expressions. Find exchanges partitioned on band_hash.
+    sections = plan.split("\n\n")
+    band_exchanges = [
+        s for s in sections
+        if s.lstrip().startswith("(")
+        and "Exchange" in s.splitlines()[0]
+        and "band_hash" in s
+    ]
+    assert band_exchanges, "expected hash exchanges on band_hash:\n" + plan
+    for s in band_exchanges:
+        assert "minhash" not in s, (
+            "band-bucket shuffle carries the full signature:\n" + s
+        )
