@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -380,9 +381,15 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_media_meta(spark, sf_dir):
-    from crawlspark.ops.multimodal import attach_binary, decode_media_meta
+    """Real container decode: BMP/WAV files are GENERATED from doc_id, the
+    metadata is PARSED back out of the bytes (crawlspark/ops/multimodal.py),
+    and the oracle recomputes the expected values independently from doc_id
+    arithmetic — a header-layout bug on either side breaks the hash."""
+    from crawlspark.ops.multimodal import attach_media, decode_media_meta
 
-    return decode_media_meta(attach_binary(_t(spark, sf_dir, "documents")))
+    return decode_media_meta(
+        attach_media(_t(spark, sf_dir, "documents").select("doc_id"))
+    )
 
 
 # --- non-SQL-expressible (rows-only check; semantics pytest-verified) -------
@@ -419,6 +426,96 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+
+_RESOLVE_GOLDENS = [
+    # (case_id, base, href) — expected values are hand-derived from RFC 3986
+    # §5 (merge + remove_dot_segments) and the C1–C7 canonicalization rules,
+    # and live as literals in oracle_sql()["url_resolve"].
+    (0, "http://a.example/b/c/d?q=1", "../x"),
+    (1, "http://a.example/b/c/d?q=1", "./y"),
+    (2, "http://a.example/b/c/d?q=1", "/abs"),
+    (3, "http://a.example/b/c/d?q=1", "rel"),
+    (4, "http://a.example/b/c/d?q=1", "?q=2"),
+    (5, "http://a.example/b/c/d?q=1", "#frag"),
+    (6, "http://a.example/b/c/d?q=1", "//other.example/z"),
+    (7, "http://a.example/b/c/d?q=1", "HTTP://UPPER.EXAMPLE:80/P"),
+    (8, "http://a.example/b/c/d?q=1", "https://s.example:443/x"),
+    (9, "http://a.example/b/c/d?q=1", "x/../../up"),
+    (10, "http://a.example/b/c/d?q=1", "?b=2&a=1"),
+    (11, "http://a.example/b/c/d?q=1", "%7Ename"),
+    (12, "http://a.example/b/c/d?q=1", "a%2Fb"),
+    (13, "http://a.example/b/c/d?q=1", "/a/./b/../c"),
+    (14, "http://a.example/b/c/d?q=1", "ftp://x.example/f"),
+]
+
+
+def q_url_resolve(spark, sf_dir):
+    """C8 relative-URL resolution goldens through the engine's resolve_udf
+    (crawlspark/functions/canon.py resolve_series); the oracle is a DuckDB
+    literal view of the RFC-derived expected strings."""
+    from crawlspark.functions.canon import resolve_udf
+
+    df = spark.createDataFrame(
+        _RESOLVE_GOLDENS, "case_id int, base string, href string"
+    )
+    return df.select(
+        "case_id", resolve_udf()(F.col("base"), F.col("href")).alias("resolved")
+    )
+
+
+_ROBOTS_RULES = [
+    {"allow": False, "prefix": "/private"},
+    {"allow": True, "prefix": "/private/open"},
+    {"allow": False, "prefix": "/de"},
+]
+
+_ROBOTS_PATH_EXPR = (
+    "'/' || CASE WHEN doc_id % 5 = 0 THEN 'private/open/page'"
+    " WHEN doc_id % 5 = 1 THEN 'private/page'"
+    " WHEN doc_id % 5 = 2 THEN 'de/p'"
+    " ELSE lang || '/p' END || CAST(doc_id AS STRING)"
+)
+
+
+def q_robots_match(spark, sf_dir):
+    """R3/R2 prefix-rule subset through the ENGINE's allowed() (the same
+    function the crawl admission path and the sequential oracle share —
+    crawlspark/functions/robots.py); the oracle expresses RFC 9309
+    longest-prefix-match (ties impossible: rule lengths are distinct) in
+    ANSI SQL over the same derived path column."""
+    from crawlspark.functions.robots import allowed
+
+    @F.pandas_udf("boolean")
+    def _allowed(paths: pd.Series) -> pd.Series:
+        return paths.map(lambda p: allowed(p, _ROBOTS_RULES))
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_ROBOTS_PATH_EXPR).alias("path"))
+        .withColumn("is_allowed", _allowed(F.col("path")))
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Rows-only: random fixture vectors have no natural near-duplicates, so
+    the query plants scaled copies (scaling preserves cosine exactly) of the
+    first 16 vectors under ids +100000 — the operator must pair each with
+    its original. Recall/precision semantics are pytest-verified
+    (tests/test_sources_and_neardup.py)."""
+    from crawlspark.ops.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 16).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").alias(
+            "embedding"
+        ),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.95
+    ).select("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -445,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "media_meta": q_media_meta,
+        "url_resolve": q_url_resolve,
+        "robots_match": q_robots_match,
+        "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -601,10 +701,58 @@ def oracle_sql() -> dict[str, str]:
             " WHERE rank <= 10"
         ),
         "media_meta": (
-            "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS byte_len,"
-            " CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,"
-            " CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,"
-            " CAST(1 + octet_length(encode(text)) % 16 AS INT) AS n_frames"
+            "SELECT doc_id,"
+            " CAST(CASE WHEN doc_id % 4 = 3"
+            "  THEN 44 + (100 + doc_id % 900) * (1 + doc_id % 2) * 2"
+            "  ELSE 54 + (((3 * (1 + doc_id % 64) + 3) // 4) * 4)"
+            "   * (1 + (doc_id * 7) % 64) END AS INT) AS byte_len,"
+            " CASE WHEN doc_id % 4 = 3 THEN 'wav' ELSE 'bmp' END AS kind,"
+            " CAST(CASE WHEN doc_id % 4 = 3 THEN NULL"
+            "  ELSE 1 + doc_id % 64 END AS INT) AS width,"
+            " CAST(CASE WHEN doc_id % 4 = 3 THEN NULL"
+            "  ELSE 1 + (doc_id * 7) % 64 END AS INT) AS height,"
+            " CAST(CASE WHEN doc_id % 4 = 3 THEN 100 + doc_id % 900"
+            "  ELSE 1 END AS INT) AS n_frames,"
+            " CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + 1000 * (doc_id % 5)"
+            "  ELSE NULL END AS INT) AS sample_rate,"
+            " CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2"
+            "  ELSE NULL END AS INT) AS n_channels"
             " FROM documents"
+        ),
+        "url_resolve": (
+            "SELECT * FROM (VALUES"
+            " (0, 'http://a.example/b/x'),"
+            " (1, 'http://a.example/b/c/y'),"
+            " (2, 'http://a.example/abs'),"
+            " (3, 'http://a.example/b/c/rel'),"
+            " (4, 'http://a.example/b/c/d?q=2'),"
+            " (5, 'http://a.example/b/c/d?q=1'),"
+            " (6, 'http://other.example/z'),"
+            " (7, 'http://upper.example/P'),"
+            " (8, 'https://s.example/x'),"
+            " (9, 'http://a.example/b/up'),"
+            " (10, 'http://a.example/b/c/d?a=1&b=2'),"
+            " (11, 'http://a.example/b/c/~name'),"
+            " (12, 'http://a.example/b/c/a%2Fb'),"
+            " (13, 'http://a.example/a/c'),"
+            " (14, CAST(NULL AS VARCHAR))"
+            ") AS t(case_id, resolved)"
+        ),
+        "robots_match": (
+            "WITH paths AS (SELECT doc_id,"
+            " '/' || CASE WHEN doc_id % 5 = 0 THEN 'private/open/page'"
+            "  WHEN doc_id % 5 = 1 THEN 'private/page'"
+            "  WHEN doc_id % 5 = 2 THEN 'de/p'"
+            "  ELSE lang || '/p' END || CAST(doc_id AS VARCHAR) AS path"
+            " FROM documents),"
+            " rules AS (SELECT * FROM (VALUES (FALSE, '/private'),"
+            "  (TRUE, '/private/open'), (FALSE, '/de')) AS t(allow, prefix)),"
+            " matched AS (SELECT p.doc_id, r.allow,"
+            "  ROW_NUMBER() OVER (PARTITION BY p.doc_id"
+            "   ORDER BY length(r.prefix) DESC) AS rn"
+            "  FROM paths p JOIN rules r ON p.path LIKE r.prefix || '%')"
+            " SELECT p.doc_id, p.path, COALESCE(m.allow, TRUE) AS is_allowed"
+            " FROM paths p LEFT JOIN (SELECT doc_id, allow FROM matched"
+            "  WHERE rn = 1) m USING (doc_id)"
         ),
     }

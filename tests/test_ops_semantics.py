@@ -167,3 +167,37 @@ def test_simhash_buckets_bounded_under_duplicates(spark):
     pairs = simhash_near_pairs(df, max_hamming=3)
     n_same = pairs.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
     assert n_same == 100 * 99 // 2  # every duplicate pair surfaces
+
+
+def test_media_decode_parses_real_headers(spark):
+    """The multimodal decode is a real container parser: metadata comes out
+    of the BYTES (BMP BITMAPINFOHEADER / WAV fmt+data chunks), malformed or
+    foreign payloads come back kind='unknown' with NULL metadata."""
+    from crawlspark.ops.multimodal import decode_media, make_bmp, make_wav
+
+    bmp = make_bmp(17, 9)
+    m = decode_media(bmp)
+    assert (m["kind"], m["width"], m["height"], m["n_frames"]) == ("bmp", 17, 9, 1)
+    assert len(bmp) == 54 + ((3 * 17 + 3) // 4 * 4) * 9
+
+    wav = make_wav(16000, 2, 250)
+    m = decode_media(wav)
+    assert (m["kind"], m["sample_rate"], m["n_channels"], m["n_frames"]) == (
+        "wav", 16000, 2, 250)
+    assert len(wav) == 44 + 250 * 2 * 2
+
+    assert decode_media(b"\x89PNG\r\n\x1a\n garbage")["kind"] == "unknown"
+    assert decode_media(b"BM")["kind"] == "unknown"  # truncated header
+
+    # Spark plumbing end-to-end: generate -> decode over mapInPandas
+    from crawlspark.ops.multimodal import attach_media, decode_media_meta
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    out = decode_media_meta(attach_media(df)).toPandas().set_index("doc_id")
+    for i in range(40):
+        if i % 4 == 3:
+            assert out.loc[i, "kind"] == "wav"
+            assert out.loc[i, "n_frames"] == 100 + i % 900
+        else:
+            assert out.loc[i, "kind"] == "bmp"
+            assert out.loc[i, "width"] == 1 + i % 64
