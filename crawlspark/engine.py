@@ -169,6 +169,11 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ robots
     def _robots_df(self) -> DataFrame:
+        """Robots dim is round-invariant for a given config: build the
+        DataFrame once and reuse (the per-round rebuild re-ran the python
+        rule-table conversion and re-planned the broadcast every round)."""
+        if getattr(self, "_robots_cached", None) is not None:
+            return self._robots_cached
         rows = synthweb.robots_table(self.cfg)
         schema = T.StructType(
             [
@@ -188,7 +193,8 @@ class CrawlEngine:
                 T.StructField("banned", T.BooleanType()),
             ]
         )
-        return self.spark.createDataFrame(rows, schema)
+        self._robots_cached = self.spark.createDataFrame(rows, schema)
+        return self._robots_cached
 
     def _banned_hosts(self) -> list[str]:
         return [r["host"] for r in synthweb.robots_table(self.cfg) if r["banned"]]
@@ -211,7 +217,7 @@ class CrawlEngine:
             for h in self._banned_hosts():
                 self.cuckoo.delete(_signed64(synthweb.stable_hash("host:" + h, self.cfg.seed)))
 
-    def _with_maybe_seen(self, cand: DataFrame) -> DataFrame:
+    def _with_maybe_seen(self, cand: DataFrame, n_parts: int | None = None) -> DataFrame:
         """A3 Bloom prefilter, partition-addressable: candidates are
         co-partitioned with the filter by host-hash bucket, and each task
         loads only its buckets' merged blobs from the sidecar parquet
@@ -261,7 +267,9 @@ class CrawlEngine:
                 out["maybe_seen"] = res
                 yield out
 
-        parts = max(4, min(self.cfg.shuffle_partitions, self.cfg.num_host_buckets))
+        parts = n_parts or max(
+            4, min(self.cfg.shuffle_partitions, self.cfg.num_host_buckets)
+        )
         return cand.repartition(parts, "host_hash").mapInPandas(probe, out_schema)
 
     def _admission_flags_udf(self):
@@ -338,7 +346,9 @@ class CrawlEngine:
             0, {"phase": "bootstrap", "frontier_size": n, "totals": {"seen": n}}
         )
 
-    def _fold_into_bloom(self, seen_rows: DataFrame, rnd: int) -> None:
+    def _fold_into_bloom(
+        self, seen_rows: DataFrame, rnd: int, n_parts: int | None = None
+    ) -> None:
         """A5: fold the round's new (host_hash, url_hash) rows into the
         per-bucket Bloom sidecar, fully distributed: each applyInPandas task
         loads its OWN bucket's previous merged blob from the sidecar parquet
@@ -363,8 +373,17 @@ class CrawlEngine:
             f.add_many(pdf["url_hash"].to_numpy())
             return pd.DataFrame({"host_hash": [b], "blob": [f.to_bytes()]})
 
+        # pre-cluster by bucket at an explicit width: HashPartitioning on the
+        # group key satisfies the groupBy's clustering, so applyInPandas adds
+        # no second shuffle and small rounds spin up few python workers
+        # instead of spark.sql.shuffle.partitions of them (worker-attach is
+        # real fixed cost — see run_round's fetch sizing).
+        parts = n_parts or max(
+            4, min(self.cfg.shuffle_partitions, self.cfg.num_host_buckets)
+        )
         blob_df = (
             seen_rows.select("host_hash", "url_hash")
+            .repartition(parts, "host_hash")
             .groupBy("host_hash")
             .applyInPandas(build, "host_hash int, blob binary")
         )
@@ -391,6 +410,27 @@ class CrawlEngine:
             _t0[0] = now
 
         frontier = self.storage.read_round("frontier", rnd - 1).select(*FRONTIER_COLS)
+
+        # Size this round's shuffle width from the (already known) frontier
+        # size: every job barrier costs latency proportional to task count,
+        # and small rounds at full configured width are pure scheduling
+        # overhead (a 1.4k-URL round does not need 32-partition windows).
+        # At cluster scale rounds are large and this clamps to the
+        # configured width. Applies to window/join/groupBy stages planned
+        # this round; results are partition-count invariant (pinned by the
+        # cross-parallelism determinism tests).
+        prev_m = self.storage.manifest(rnd - 1) or {}
+        approx = int(
+            prev_m.get("next_frontier_size", prev_m.get("frontier_size", 0)) or 0
+        )
+        round_parts = max(
+            8,
+            min(
+                cfg.shuffle_partitions,
+                -(-approx * 4 // cfg.fetch_rows_per_partition),
+            ),
+        )
+        sp.conf.set("spark.sql.shuffle.partitions", str(round_parts))
 
         self._refresh_cuckoo(rnd)  # unban (cuckoo delete) takes effect here
         robots = self._robots_df()
@@ -535,14 +575,13 @@ class CrawlEngine:
             F.col("url_hash").alias("dst_hash"),
             "pos",
         )
-        # driver-side job pipelining: the documents and edges sinks are
-        # independent (both read the materialized fetch cache) — run them as
-        # concurrent Spark jobs so the round pays max(write) not sum(write)
-        _parallel(
-            lambda: self.storage.write_round("documents", docs, rnd),
-            lambda: self.storage.write_round("edges", edges_out, rnd),
-        )
-        tick("docs_edges_parallel_write")
+        # driver-side job pipelining: the edges sink materializes the edges
+        # cache the candidate pipeline needs next, so it runs NOW; the
+        # documents sink only reads the (already materialized) fetch cache
+        # and is deferred into the round-tail parallel group — the round
+        # pays one barrier here, not two.
+        self.storage.write_round("edges", edges_out, rnd)
+        tick("edges_write")
 
         # U1/U2: candidate frontier rows with lineage
         cand = (
@@ -575,7 +614,15 @@ class CrawlEngine:
         # A3 Bloom prefilter → A2 exact anti-join backstop. The probe is
         # co-partitioned with the sidecar blobs by host_hash and persisted so
         # both branches read one materialization.
-        cand = self._with_maybe_seen(cand).persist()
+        py_parts = max(
+            4,
+            min(
+                cfg.shuffle_partitions,
+                cfg.num_host_buckets,
+                -(-m.frontier_size * 4 // cfg.fetch_rows_per_partition),
+            ),
+        )
+        cand = self._with_maybe_seen(cand, n_parts=py_parts).persist()
         definitely_new = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = cand.filter(F.col("maybe_seen")).drop("maybe_seen")
         seen = self.storage.read_table("seen", upto_round=rnd - 1).select(
@@ -591,8 +638,6 @@ class CrawlEngine:
         )
         self.storage.write_round("seen", seen_add, rnd)
         tick("seen_antijoin_write")
-        self._fold_into_bloom(self.storage.read_round("seen", rnd), rnd)
-        tick("bloom_fold")
 
         # U1: next frontier snapshot = deferred ∪ banned-deferred ∪ new
         next_frontier = (
@@ -607,6 +652,16 @@ class CrawlEngine:
         # cached dataframes, not three jobs — per-round driver actions are
         # real fixed cost in local mode and pure overhead at small rounds.
         metrics_df = self._metrics_df(rnd, fetched, disallowed, deferred, new)
+
+        def _fold_and_save() -> None:
+            # A5 sidecar fold + filter checkpoint: depends only on the seen
+            # write above; runs concurrently with the other tail sinks
+            self._fold_into_bloom(
+                self.storage.read_round("seen", rnd), rnd, n_parts=py_parts
+            )
+            self.storage.save_filters(
+                rnd, dict(self._bloom_index), self.cuckoo.to_bytes()
+            )
 
         def _lagging_counts() -> None:
             rows = (
@@ -627,6 +682,8 @@ class CrawlEngine:
             m.skipped_politeness = counts.get("def", 0)
 
         _parallel(
+            lambda: self.storage.write_round("documents", docs, rnd),
+            _fold_and_save,
             lambda: self.storage.write_round("frontier", next_frontier, rnd),
             lambda: self.storage.write_round(
                 "metrics", metrics_df, rnd, cluster_by=None, num_files=1
@@ -634,8 +691,7 @@ class CrawlEngine:
             _lagging_counts,
         )
         m.deduped = m.candidates - m.new_urls
-        tick("frontier_metrics_parallel_write")
-        self.storage.save_filters(rnd, dict(self._bloom_index), self.cuckoo.to_bytes())
+        tick("tail_parallel_sinks")
         # next snapshot size is already known arithmetically — no read-back job
         next_size = m.skipped_politeness + m.new_urls + (
             m.skipped_banned if cfg.unban_round is not None else 0
