@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 from crawlspark.config import BLOOM_FP_RATE, CrawlConfig
 from crawlspark.filters import CuckooFilter
-from crawlspark.functions.canon import canonicalize_udf, resolve_udf, with_url_identity
+from crawlspark.functions.canon import canonicalize_udf, with_url_identity
 from crawlspark.functions.robots import allowed_series, path_of
 from crawlspark.sources import synthweb
 from crawlspark.storage import CrawlStorage
@@ -98,6 +98,7 @@ FETCH_SCHEMA = T.StructType(
         T.StructField("media_ref", T.ArrayType(T.StringType())),
         T.StructField("offset", T.ArrayType(T.IntegerType())),
         T.StructField("links", T.ArrayType(T.StringType())),
+        T.StructField("links_canon", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -549,7 +550,9 @@ class CrawlEngine:
             )
         )
 
-        # F3 link extraction → S4 edges append
+        # F3 link extraction → S4 edges append. Links arrive from the fetch
+        # pass already resolved+canonicalized (fused C8 — no second python
+        # stage here); the explode and identity columns stay in codegen.
         edges = (
             fetched.filter(F.col("status") == 200)
             .select(
@@ -559,9 +562,13 @@ class CrawlEngine:
                 F.col("fetch_time").alias("p_time"),
                 F.col("host_rank").alias("p_rank"),
                 F.col("depth").alias("p_depth"),
-                F.posexplode("links").alias("pos", "href"),
+                F.posexplode(F.arrays_zip("links", "links_canon")).alias(
+                    "pos", "_lnk"
+                ),
             )
-            .withColumn("dst_canon", resolve_udf()(F.col("src_canon"), F.col("href")))
+            .withColumn("href", F.col("_lnk.links"))
+            .withColumn("dst_canon", F.col("_lnk.links_canon"))
+            .drop("_lnk")
             .filter(F.col("dst_canon").isNotNull())
         )
         edges = with_url_identity(
@@ -793,8 +800,11 @@ def _make_fetcher(cfg: CrawlConfig):
     spacing is already guaranteed by admission (P3/P4)."""
 
     def fetch_batches(batches):
+        from crawlspark.functions.canon import resolve_series
+
         for pdf in batches:
             statuses, kinds, texts, refs, offs, links = [], [], [], [], [], []
+            flat_bases, flat_hrefs, counts = [], [], []
             for u in pdf["url_canon"]:
                 status, spans, lnks = synthweb.page(u, cfg)
                 statuses.append(status)
@@ -803,6 +813,22 @@ def _make_fetcher(cfg: CrawlConfig):
                 refs.append([s["media_ref"] for s in spans])
                 offs.append([s["offset"] for s in spans])
                 links.append(lnks)
+                flat_bases.extend([u] * len(lnks))
+                flat_hrefs.extend(lnks)
+                counts.append(len(lnks))
+            # C8 fused into the fetch pass: resolve+canonicalize every
+            # extracted link in ONE vectorized call per Arrow batch, so the
+            # edges path downstream needs no second python stage over the
+            # exploded links (chained ArrowEval stages each cost a python
+            # worker per task — measured as the dominant local-mode tax).
+            resolved = resolve_series(
+                pd.Series(flat_bases, dtype="object"),
+                pd.Series(flat_hrefs, dtype="object"),
+            ).tolist()
+            links_canon, at = [], 0
+            for n in counts:
+                links_canon.append(resolved[at : at + n])
+                at += n
             yield pd.DataFrame(
                 {
                     "url_canon": pdf["url_canon"].values,
@@ -818,6 +844,7 @@ def _make_fetcher(cfg: CrawlConfig):
                     "media_ref": refs,
                     "offset": offs,
                     "links": links,
+                    "links_canon": links_canon,
                 }
             )
 
