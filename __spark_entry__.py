@@ -516,6 +516,58 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+
+def q_tokens_topk(spark, sf_dir):
+    """Wordcount shape: explode tokens -> hash-agg counts -> per-group top-k
+    window with a deterministic tie-break. The explode and agg are pure
+    codegen; at scale the partial (map-side) count collapses the token
+    stream before the single shuffle."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        toks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "token", "n", "rk")
+    )
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_lang_pivot(spark, sf_dir):
+    """groupBy().pivot() with an explicit pivot-value list (no extra
+    distinct-scan job at scale) -> one wide row per source."""
+    out = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .pivot("lang", _LANGS)
+        .count()
+        .na.fill(0, _LANGS)
+    )
+    return out.select("source", *_LANGS)
+
+
+def q_events_cube(spark, sf_dir):
+    """CUBE over (event_type, hour-of-day): all four grouping sets in one
+    pass; exact-integer aggregates only (float discipline)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("hr", F.hour("ts"))
+        .cube("event_type", "hr")
+        .agg(
+            F.grouping_id().alias("g"),
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event"),
+        )
+        .select("event_type", "hr", "g", "n_events", "min_event")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -544,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "url_resolve": q_url_resolve,
         "robots_match": q_robots_match,
+        "tokens_topk": q_tokens_topk,
+        "lang_pivot": q_lang_pivot,
+        "events_cube": q_events_cube,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -737,6 +792,31 @@ def oracle_sql() -> dict[str, str]:
             " (13, 'http://a.example/a/c'),"
             " (14, CAST(NULL AS VARCHAR))"
             ") AS t(case_id, resolved)"
+        ),
+        "tokens_topk": (
+            "SELECT lang, token, n, rk FROM ("
+            " SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n,"
+            "  ROW_NUMBER() OVER (PARTITION BY lang"
+            "   ORDER BY COUNT(*) DESC, token) AS rk"
+            " FROM (SELECT lang, unnest(string_split(text, ' ')) AS token"
+            "  FROM documents) GROUP BY lang, token) WHERE rk <= 5"
+        ),
+        "lang_pivot": (
+            "SELECT source,"
+            " CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,"
+            " CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,"
+            " CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,"
+            " CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,"
+            " CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh"
+            " FROM documents GROUP BY source"
+        ),
+        "events_cube": (
+            "SELECT event_type, CAST(hr AS INT) AS hr,"
+            " CAST(GROUPING(event_type, hr) AS BIGINT) AS g,"
+            " CAST(COUNT(*) AS BIGINT) AS n_events,"
+            " MIN(event_id) AS min_event FROM ("
+            " SELECT event_type, EXTRACT(hour FROM ts) AS hr, event_id"
+            " FROM events) GROUP BY CUBE(event_type, hr)"
         ),
         "robots_match": (
             "WITH paths AS (SELECT doc_id,"
