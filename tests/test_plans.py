@@ -112,3 +112,34 @@ def test_lsh_band_join_is_key_only(spark):
         assert "minhash" not in s, (
             "band-bucket shuffle carries the full signature:\n" + s
         )
+
+
+def test_iceberg_dispatch_seam(spark, tmp_path):
+    """catalog=None keeps the parquet facade (bit-for-bit existing
+    behavior); catalog="..." routes every table write/read through the
+    DataSourceV2 path. The real Iceberg runtime is absent in this sandbox,
+    so the routed write must fail with a catalog-resolution error — proving
+    the branch is taken — and must NOT fall back to writing parquet."""
+    import pytest
+
+    from crawlspark.storage import CrawlStorage
+
+    df = spark.range(4).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 2).cast("int").alias("host_hash")
+    )
+
+    plain = CrawlStorage(spark, tmp_path / "plain")
+    plain.write_round("seen", df, 0)
+    assert (tmp_path / "plain" / "seen" / "round=00000").exists()
+
+    iceberg = CrawlStorage(spark, tmp_path / "ice", catalog="no_such_cat.db")
+    with pytest.raises(Exception) as ei:
+        iceberg.write_round("seen", df, 0)
+    assert "no_such_cat" in str(ei.value)
+    assert not (tmp_path / "ice" / "seen" / "round=00000").exists()
+
+    routed = []
+    iceberg._write_round_iceberg = lambda t, d, r: routed.append((t, r))
+    iceberg.write_round("seen", df, 1)
+    assert routed == [("seen", 1)]
+    assert not (tmp_path / "ice" / "seen" / "round=00001").exists()
