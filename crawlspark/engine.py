@@ -723,6 +723,9 @@ class CrawlEngine:
                 "totals": totals,
             },
         )
+        # GC superseded Bloom blob rounds now that the manifest (and the
+        # filter pickle carrying this round's index) is committed.
+        self.storage.gc_bloom_rounds(self._bloom_index)
         m.extras["next_frontier_size"] = next_size
         m.extras["timings"] = timings
         for df in (fr, ranked, fetched, edges, cand, new):

@@ -171,6 +171,27 @@ class CrawlStorage:
         Overwrite-idempotent like every round dir (exact-resume)."""
         blob_df.write.mode("overwrite").parquet(self.bloom_round_path(rnd))
 
+    def gc_bloom_rounds(self, bloom_index: dict[int, int]) -> list[int]:
+        """Delete Bloom blob round dirs no bucket references anymore. Each
+        round's blob is the cumulative MERGE for its buckets, so once every
+        bucket that a round touched has been re-merged by a later round, the
+        old dir is garbage — at the 10^10 design point leaving them would
+        accumulate O(rounds x touched-buckets) filter bytes. Called only
+        AFTER the round manifest commits, when the in-memory index equals
+        the checkpointed one, so a crash can never orphan a referenced dir.
+        Returns the deleted round numbers."""
+        import shutil
+
+        live = set(bloom_index.values())
+        deleted = []
+        base = self.root / "_filters" / "bloom"
+        for d in sorted(base.glob("round=*")):
+            r = int(d.name.split("=")[1])
+            if r not in live:
+                shutil.rmtree(d, ignore_errors=True)
+                deleted.append(r)
+        return deleted
+
     def save_filters(self, rnd: int, bloom_index: dict[int, int],
                      cuckoo_blob: bytes) -> str:
         """A5/S6: checkpoint the tiny driver-side filter state alongside the

@@ -131,3 +131,40 @@ def test_bloom_sidecar_distributed_fold(spark, tmp_path):
     probed = eng._with_maybe_seen(cand).toPandas().sort_values("url_hash")
     flags = dict(zip(probed["url_hash"], probed["maybe_seen"]))
     assert all(flags[h] for h in r0[:10])  # Bloom has no false negatives
+
+
+def test_bloom_sidecar_gc(spark, tmp_path):
+    """Superseded blob rounds are deleted once no bucket references them;
+    referenced rounds survive, and probing still answers from the live
+    blobs after GC."""
+    import numpy as np
+    import pandas as pd
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(num_host_buckets=4, shuffle_partitions=4)
+    storage = CrawlStorage(spark, tmp_path)
+    eng = CrawlEngine(spark, cfg, storage)
+
+    def seen_df(hashes, bucket):
+        return spark.createDataFrame(pd.DataFrame({
+            "host_hash": np.full(len(hashes), bucket, dtype=np.int32),
+            "url_hash": np.asarray(hashes, dtype=np.int64),
+        }))
+
+    eng._fold_into_bloom(seen_df(range(100, 150), 1), 0)
+    eng._fold_into_bloom(seen_df(range(200, 250), 2), 1)  # bucket 2 only
+    eng._fold_into_bloom(seen_df(range(300, 350), 1), 2)  # bucket 1 re-merged
+    # round 0 only held bucket 1, which round 2 superseded -> GC'able;
+    # round 1 (bucket 2's latest) and round 2 must survive
+    deleted = storage.gc_bloom_rounds(eng._bloom_index)
+    assert deleted == [0]
+    import pathlib
+    left = sorted(p.name for p in (pathlib.Path(tmp_path) / "_filters" / "bloom").iterdir())
+    assert left == ["round=00001", "round=00002"]
+
+    from crawlspark.filters import load_bucket_blob
+    f1 = load_bucket_blob(storage.bloom_base_path(), 2, 1)
+    assert f1.contains_many(np.asarray(list(range(100, 150)) + list(range(300, 350)), dtype=np.int64)).all()

@@ -126,3 +126,38 @@ def test_anchored_repeated_suffix():
     assert not _pattern_matches("/ab", "/a*ab$")  # suffix may not overlap prefix
     assert _pattern_matches("/fish.php?id=anything", "/fish*.php")
     assert not allowed("/a.pdf.pdf", [{"allow": False, "prefix": "/*.pdf$"}])
+
+
+def test_pattern_matches_regex_model():
+    """Property check: _pattern_matches must agree with the obvious regex
+    translation of RFC 9309 patterns (* -> .*, trailing $ -> \\Z) on
+    generated pattern/path pairs."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawlspark.functions.robots import _pattern_matches
+
+    seg = st.text(alphabet="ab./p", min_size=0, max_size=4)
+
+    @st.composite
+    def pattern(draw):
+        parts = draw(st.lists(seg, min_size=1, max_size=4))
+        p = "/" + "*".join(parts)
+        if draw(st.booleans()):
+            p += "$"
+        return p
+
+    @settings(max_examples=300, deadline=None)
+    @given(pat=pattern(), path=st.text(alphabet="ab./p", min_size=0, max_size=12))
+    def check(pat, path):
+        path = "/" + path
+        anchored = pat.endswith("$")
+        core = pat[:-1] if anchored else pat
+        rx = ".*".join(re.escape(s) for s in core.split("*"))
+        rx = "\\A" + rx + ("\\Z" if anchored else "")
+        expect = re.search(rx, path) is not None
+        assert _pattern_matches(path, pat) == expect, (pat, path)
+
+    check()
