@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--web-hosts", type=int, default=20)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--unban-round", type=int, default=None)
+    ap.add_argument(
+        "--iceberg-catalog",
+        default=None,
+        help="catalog.db prefix: route table writes/reads through Iceberg "
+        "DataSourceV2 (requires iceberg-spark-runtime on the cluster); "
+        "default keeps the parquet facade under --root",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,7 +61,11 @@ def main() -> None:
     else:
         seeds = synthweb.seed_list(cfg, n=args.seed_count)
 
-    engine = CrawlEngine(spark, cfg, CrawlStorage(spark, args.root))
+    storage = CrawlStorage(
+        spark, args.root, catalog=args.iceberg_catalog,
+        num_buckets=cfg.num_host_buckets,
+    )
+    engine = CrawlEngine(spark, cfg, storage)
     summary = engine.run(seeds)
     print(json.dumps(summary))
     spark.stop()
