@@ -568,6 +568,39 @@ def q_events_cube(spark, sf_dir):
     )
 
 
+
+def q_events_ordered_agg(spark, sf_dir):
+    """Ordered aggregation family: per-user event sequence as one string,
+    order pinned by (ts, event_id). collect_list order is nondeterministic
+    under parallel merge, so the sort happens INSIDE the aggregate value
+    (sort_array over structs) — the distributed-safe rendering of
+    string_agg(... ORDER BY)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list("
+                "struct(ts, event_id))), x -> cast(x.event_id as string)))"
+            ).alias("event_seq")
+        )
+    )
+
+
+def q_lang_median_chars(spark, sf_dir):
+    """Exact-percentile family: percentile() (not approx) over integers —
+    the .5 interpolation of two BIGINTs is exactly representable in the
+    double that crosses the comparison boundary."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -597,6 +630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_resolve": q_url_resolve,
         "robots_match": q_robots_match,
         "tokens_topk": q_tokens_topk,
+        "events_ordered_agg": q_events_ordered_agg,
+        "lang_median_chars": q_lang_median_chars,
         "lang_pivot": q_lang_pivot,
         "events_cube": q_events_cube,
         "embedding_near_dup": q_embedding_near_dup,
@@ -792,6 +827,16 @@ def oracle_sql() -> dict[str, str]:
             " (13, 'http://a.example/a/c'),"
             " (14, CAST(NULL AS VARCHAR))"
             ") AS t(case_id, resolved)"
+        ),
+        "events_ordered_agg": (
+            "SELECT user_id,"
+            " string_agg(CAST(event_id AS VARCHAR), ','"
+            "  ORDER BY ts, event_id) AS event_seq"
+            " FROM events GROUP BY user_id"
+        ),
+        "lang_median_chars": (
+            "SELECT lang, CAST(median(n_chars) AS DOUBLE) AS median_chars,"
+            " CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang"
         ),
         "tokens_topk": (
             "SELECT lang, token, n, rk FROM ("
