@@ -77,6 +77,11 @@ def bench_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         "minhash_lsh_pairs",
         "simhash_near_pairs",
         "media_meta",
+        "tokens_topk",
+        "lang_pivot",
+        "events_cube",
+        "events_ordered_agg",
+        "robots_match",
     ]
     spark = make_spark(cpus, max(8, cpus))
     spark.sparkContext.setLogLevel("ERROR")
