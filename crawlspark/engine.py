@@ -458,24 +458,30 @@ class CrawlEngine:
             .drop("_flags")
             .persist()
         )
-        # one-pass stats (single job instead of three filter().count() jobs)
-        st = fr.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("is_banned").cast("long")).alias("banned"),
-            F.sum((~F.col("is_banned") & ~F.col("is_allowed")).cast("long")).alias(
-                "disallowed"
-            ),
-            # A6: frontier cardinality estimate (HLL) — sizes the Bloom
-            # sidecars at scale; one extra agg expression, zero extra jobs
-            F.approx_count_distinct("url_hash").alias("distinct_est"),
-            F.approx_count_distinct("host").alias("hosts_est"),
-        ).first()
-        tick("admission_stats")
-        m.frontier_size = st["n"]
-        m.skipped_banned = int(st["banned"] or 0)
-        m.skipped_robots = int(st["disallowed"] or 0)
-        m.extras["frontier_distinct_est"] = int(st["distinct_est"])
-        m.extras["frontier_hosts_est"] = int(st["hosts_est"])
+        # one-pass stats (single job instead of three filter().count() jobs);
+        # nothing on the fetch path depends on them, so the job itself is
+        # deferred into the round-tail parallel group (one less barrier).
+        m.frontier_size = approx  # exact: the previous manifest's arithmetic
+
+        def _admission_stats() -> None:
+            st = fr.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("is_banned").cast("long")).alias("banned"),
+                F.sum(
+                    (~F.col("is_banned") & ~F.col("is_allowed")).cast("long")
+                ).alias("disallowed"),
+                # A6: frontier cardinality estimate (HLL) — sizes the Bloom
+                # sidecars at scale; extra agg expressions, zero extra jobs
+                F.approx_count_distinct("url_hash").alias("distinct_est"),
+                F.approx_count_distinct("host").alias("hosts_est"),
+            ).first()
+            m.frontier_size = st["n"]
+            m.skipped_banned = int(st["banned"] or 0)
+            m.skipped_robots = int(st["disallowed"] or 0)
+            m.extras["frontier_distinct_est"] = int(st["distinct_est"])
+            m.extras["frontier_hosts_est"] = int(st["hosts_est"])
+
+        tick("admission_plan")
 
         # Banned rows: deferred (stay in frontier) when an unban is coming,
         # dropped permanently when the ban is forever (else no exhaustion).
@@ -500,15 +506,15 @@ class CrawlEngine:
         )
 
         # G3 salted repartition → F1/F2 fetch+parse (mapInPandas).
-        # Partition count adapts to the (already-counted) frontier size:
-        # python-stage tasks have real fixed cost, so small rounds use few
-        # fat partitions, big rounds the full configured width (see
-        # CrawlConfig.fetch_rows_per_partition).
+        # Partition count adapts to the frontier size (known exactly from
+        # the previous manifest — no counting job): python-stage tasks have
+        # real fixed cost, so small rounds use few fat partitions, big
+        # rounds the full configured width (CrawlConfig.fetch_rows_per_partition).
         fetch_parts = max(
             4,
             min(
                 cfg.shuffle_partitions,
-                -(-m.frontier_size // cfg.fetch_rows_per_partition),
+                -(-max(approx, 1) // cfg.fetch_rows_per_partition),
             ),
         )
         # salt cardinality must be MUCH larger than the partition count:
@@ -523,14 +529,16 @@ class CrawlEngine:
         fetched = admitted.mapInPandas(
             _make_fetcher(cfg), FETCH_SCHEMA
         ).persist()
-        # materialize the fetch cache with the stats agg, so the two sink
-        # writes below can run as CONCURRENT jobs reading the cache
-        fst = fetched.agg(
-            F.count("*").alias("n"),
-            F.sum((F.col("status") == 200).cast("long")).alias("ok"),
-        ).first()
-        m.fetched = fst["n"]
-        m.ok_200 = int(fst["ok"] or 0)
+
+        def _fetched_stats() -> None:
+            # reads the fetch cache (materialized by the edges write below);
+            # runs in the round-tail parallel group
+            fst = fetched.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("status") == 200).cast("long")).alias("ok"),
+            ).first()
+            m.fetched = fst["n"]
+            m.ok_200 = int(fst["ok"] or 0)
 
         # S3 documents append (contract schema + bookkeeping)
         docs = (
@@ -696,6 +704,8 @@ class CrawlEngine:
                 "metrics", metrics_df, rnd, cluster_by=None, num_files=1
             ),
             _lagging_counts,
+            _admission_stats,
+            _fetched_stats,
         )
         m.deduped = m.candidates - m.new_urls
         tick("tail_parallel_sinks")
