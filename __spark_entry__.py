@@ -601,6 +601,27 @@ def q_lang_median_chars(spark, sf_dir):
     )
 
 
+
+def q_near_dup_clusters(spark, sf_dir):
+    """Iterative connected-components over a pair graph (the step that turns
+    near-dup PAIRS into canonical-doc CLUSTERS — ops/dedup.cluster_pairs,
+    min-label propagation). The edge set is chain-structured by arithmetic
+    (doc_id -> doc_id+1 for doc_id % 10 <= 2), so the fixpoint the iterative
+    Spark operator must reach is expressible in closed form by the oracle:
+    every vertex's component minimum is v - v % 10."""
+    from crawlspark.ops.dedup import cluster_pairs
+
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 <= 2)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    return cluster_pairs(pairs).select("id", "cluster_rep")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -634,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_median_chars": q_lang_median_chars,
         "lang_pivot": q_lang_pivot,
         "events_cube": q_events_cube,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -854,6 +876,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,"
             " CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh"
             " FROM documents GROUP BY source"
+        ),
+        "near_dup_clusters": (
+            "WITH verts AS (SELECT DISTINCT v FROM ("
+            " SELECT doc_id AS v FROM documents WHERE doc_id % 10 <= 2"
+            " UNION ALL"
+            " SELECT doc_id + 1 AS v FROM documents WHERE doc_id % 10 <= 2))"
+            " SELECT v AS id, v - v % 10 AS cluster_rep FROM verts"
         ),
         "events_cube": (
             "SELECT event_type, CAST(hr AS INT) AS hr,"

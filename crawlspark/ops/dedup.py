@@ -327,3 +327,68 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: assign every
+    doc the MINIMUM id reachable through pairs — the canonical
+    representative a dedup pipeline keeps. Returns (id, cluster_rep).
+
+    Algorithm: iterative min-label propagation (the two-phase
+    large-star/small-star formulation of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014 [pub], collapses to this
+    single alternation when labels are propagated symmetrically): each step
+    joins every vertex's label with its neighbors' labels and keeps the
+    minimum; converged when no label changes. Each iteration is one shuffle
+    on the vertex id; iteration count is bounded by the cluster diameter,
+    which for near-dup graphs is small (dup clusters are dense). The
+    convergence check rides the same aggregation that computes the next
+    labels (one job per iteration, not two).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .cast("long")
+                .alias("_chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
+        old = labels
+        labels = new_labels.drop("_chg").persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))

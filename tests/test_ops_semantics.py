@@ -201,3 +201,24 @@ def test_media_decode_parses_real_headers(spark):
         else:
             assert out.loc[i, "kind"] == "bmp"
             assert out.loc[i, "width"] == 1 + i % 64
+
+
+def test_cluster_pairs_connected_components(spark):
+    """cluster_pairs must assign every vertex the min id of its component:
+    chains, a star, a singleton pair, and two disjoint triangles."""
+    from crawlspark.ops.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain -> rep 1
+            (10, 11), (10, 12), (10, 13),    # star -> rep 10
+            (20, 21),                        # pair -> rep 20
+            (30, 31), (31, 32), (30, 32),    # triangle -> rep 30
+            (40, 41), (41, 42), (40, 42),    # triangle -> rep 40
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_rep"] for r in cluster_pairs(pairs).collect()}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+              20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 40: 40, 41: 40, 42: 40}
+    assert got == expect
