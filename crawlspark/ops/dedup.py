@@ -6,11 +6,14 @@ Scale design (the reason these are built this way):
 - MinHash+LSH: signatures in one Arrow pass; the candidate-pair join is on
   (band, band_hash) buckets, so its shuffle moves only (doc_id, bucket) pairs
   — never text — and hot buckets are bounded by the banding parameters.
-- SimHash: 64-bit signature per doc; near-pair search joins on 16-bit chunks
-  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks equal), again a
-  key-only shuffle.
+- SimHash: 64-bit signature per doc; near-pair search joins Manku-style
+  block-combination keys (C(h+3, 3) tables of wide packed keys — exhaustive
+  for hamming ≤ h by pigeonhole) over DISTINCT signatures, so duplicate-heavy
+  corpora cannot blow up a bucket; again a key-only shuffle.
 - n-gram Jaccard: exact verification on a *blocked* pair set; blocking keys
   bound the quadratic term.
+- cluster_pairs: iterative min-label connected components turning the pair
+  stream into canonical-representative clusters (one shuffle per iteration).
 
 Signature computation is per-document and embarrassingly parallel; all joins
 are equi-joins Catalyst can plan (broadcast when one side is small, SMJ
