@@ -64,6 +64,43 @@ def test_resume_exactness(spark, tmp_path):
     _assert_matches_oracle(full_store, full_sum, cfg, seeds)
 
 
+def test_resume_overwrites_orphan_round_dirs(spark, tmp_path):
+    """Crash INSIDE a round (after some sinks wrote, before the manifest
+    commit): the next run must overwrite every orphan round dir — including
+    a garbage Bloom sidecar — and still produce the uninterrupted run's
+    exact state. Visibility is manifest-gated, so orphans are invisible
+    until their round re-commits."""
+    import pathlib
+
+    cfg = CrawlConfig(max_depth=2, max_rounds=12, web_hosts=5, shuffle_partitions=4)
+    seeds = synthweb.seed_list(cfg, n=15)
+
+    full_store = CrawlStorage(spark, tmp_path / "full")
+    full_sum = CrawlEngine(spark, cfg, full_store).run(seeds)
+
+    part_store = CrawlStorage(spark, tmp_path / "part")
+    eng = CrawlEngine(spark, cfg, part_store)
+    eng.bootstrap(seeds)
+    eng.run_round(1)
+    # fake a mid-round-2 crash: garbage partial sinks for round 2, no manifest
+    for table in ("frontier", "seen", "documents"):
+        d = pathlib.Path(tmp_path / "part" / table / "round=00002")
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "part-garbage.parquet").write_bytes(b"NOT A PARQUET FILE")
+    orphan_blob = pathlib.Path(part_store.bloom_round_path(2))
+    orphan_blob.mkdir(parents=True, exist_ok=True)
+    (orphan_blob / "part-garbage.parquet").write_bytes(b"NOT A PARQUET FILE")
+
+    resumed_sum = CrawlEngine(
+        spark, cfg, CrawlStorage(spark, tmp_path / "part")
+    ).run()
+    assert _engine_state(full_store) == _engine_state(
+        CrawlStorage(spark, tmp_path / "part")
+    )
+    assert resumed_sum["totals"] == full_sum["totals"]
+    assert resumed_sum["rounds"] == full_sum["rounds"]
+
+
 def test_hot_domain_skew_equality(spark, tmp_path):
     """G3 salting is a physical change only: with ~50% of links hitting one
     host, results must still match the oracle exactly."""
