@@ -222,7 +222,17 @@ def bench_big_crawl() -> dict:
     each level one early and one late slot; best-of-2 approximates the
     unthrottled rate. Determinism fields (rounds/fetched/seen equality
     across ALL runs) are credit-invariant evidence."""
-    runs = [_run_big_crawl(c) for c in (32, 8, 8, 32)]
+    # Time-guarded: the first two runs (one per level) always happen; the
+    # mirrored pair is skipped if the part is already past its time share,
+    # so a badly throttled VM still yields a complete JSON line instead of
+    # tripping an outer timeout.
+    t0 = time.time()
+    part_budget = float(os.environ.get("SPARK_GRAFT_BIGCRAWL_BUDGET", "260"))
+    runs = []
+    for c in (32, 8, 8, 32):
+        if len(runs) >= 2 and time.time() - t0 > part_budget:
+            break
+        runs.append(_run_big_crawl(c))
     r32s = [r for r in runs if r["cores"] == 32]
     r8s = [r for r in runs if r["cores"] == 8]
     r32 = max(r32s, key=lambda r: r["throughput_urls_per_sec"])
