@@ -622,6 +622,21 @@ def q_near_dup_clusters(spark, sf_dir):
     return cluster_pairs(pairs).select("id", "cluster_rep")
 
 
+
+def q_events_asof(spark, sf_dir):
+    """Backward as-of join (ops/temporal.asof_join — union-and-carry-forward,
+    one shuffle, no theta join): every event gets the id of the latest
+    'click' event by the same user at or before its timestamp. Oracle:
+    DuckDB's native ASOF LEFT JOIN over the same deduplicated right side."""
+    from crawlspark.ops.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        ev, clicks, on="user_id", id_col="event_id"
+    ).select("user_id", "event_id", F.col("asof_event_id").alias("prev_click"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -656,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "events_cube": q_events_cube,
         "near_dup_clusters": q_near_dup_clusters,
+        "events_asof": q_events_asof,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -876,6 +892,13 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,"
             " CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh"
             " FROM documents GROUP BY source"
+        ),
+        "events_asof": (
+            "WITH clicks AS (SELECT user_id, ts, MIN(event_id) AS event_id"
+            " FROM events WHERE event_type = 'click' GROUP BY user_id, ts)"
+            " SELECT l.user_id, l.event_id, r.event_id AS prev_click"
+            " FROM events l ASOF LEFT JOIN clicks r"
+            " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "near_dup_clusters": (
             "WITH verts AS (SELECT DISTINCT v FROM ("

@@ -222,3 +222,32 @@ def test_cluster_pairs_connected_components(spark):
     expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10,
               20: 20, 21: 20, 30: 30, 31: 30, 32: 30, 40: 40, 41: 40, 42: 40}
     assert got == expect
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left timestamp;
+    exact-tie matches inclusively with min-id winning among equal
+    timestamps; no earlier right row -> NULL."""
+    import datetime as dt
+
+    from crawlspark.ops.temporal import asof_join
+
+    t = lambda sec: dt.datetime(2026, 1, 1, 0, 0, sec)
+    left = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(10), 101), (1, t(2), 102), (2, t(5), 200)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 900), (1, t(5), 901), (1, t(5), 902), (3, t(1), 903)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    got = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof_join(left, right, on="user_id", id_col="event_id").collect()
+    }
+    assert got == {
+        100: 901,  # tie at t=5 matches inclusively; min id among equals
+        101: 901,  # latest right (t=5) carried forward
+        102: None,  # nothing at or before t=2... right has t=3 only -> None
+        200: None,  # user 2 has no right rows
+    }
