@@ -637,6 +637,32 @@ def q_events_asof(spark, sf_dir):
     ).select("user_id", "event_id", F.col("asof_event_id").alias("prev_click"))
 
 
+
+def q_orders_in_balance_range(spark, sf_dir):
+    """Range join via binning (ops/temporal.interval_point_join): per
+    customer, count orders whose total price falls in a window derived from
+    the account balance. The bin equi-join replaces the quadratic theta
+    join; the oracle IS the theta join (DuckDB, fine at sf0.01)."""
+    from crawlspark.ops.temporal import interval_point_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") * 20).alias("lo"),
+        (F.col("c_acctbal") * 20 + 10000).alias("hi"),
+    )
+    pts = _t(spark, sf_dir, "orders").select("o_totalprice")
+    pairs = interval_point_join(pts, cust, "o_totalprice", "lo", "hi", 10000)
+    agg = pairs.groupBy("c_custkey").agg(F.count("*").alias("n_in_range"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(agg, "c_custkey", "left")
+        .select(
+            "c_custkey", F.coalesce("n_in_range", F.lit(0)).alias("n_in_range")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -672,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "near_dup_clusters": q_near_dup_clusters,
         "events_asof": q_events_asof,
+        "orders_in_balance_range": q_orders_in_balance_range,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -892,6 +919,14 @@ def oracle_sql() -> dict[str, str]:
             " CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,"
             " CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh"
             " FROM documents GROUP BY source"
+        ),
+        "orders_in_balance_range": (
+            "SELECT c.c_custkey,"
+            " CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_in_range"
+            " FROM customer c LEFT JOIN orders o"
+            " ON o.o_totalprice >= c.c_acctbal * 20"
+            " AND o.o_totalprice <= c.c_acctbal * 20 + 10000"
+            " GROUP BY c.c_custkey"
         ),
         "events_asof": (
             "WITH clicks AS (SELECT user_id, ts, MIN(event_id) AS event_id"

@@ -75,3 +75,47 @@ def asof_join(
     )
     out = l.join(carried, ["_k", "_t"], "left").drop("_k", "_t")
     return out.withColumnRenamed("_asof", f"asof_{payload}")
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Range (interval-containment) join without a cartesian product: bin
+    points to ``floor(p/width)``, explode each interval to the bins it
+    overlaps, equi-join on the bin, then apply the exact containment filter.
+    Catalyst plans the bin join as a plain hash/sort-merge equi-join; the
+    quadratic theta join never appears (pinned by
+    test_range_join_is_equi_join).
+
+    Candidate completeness is guaranteed by floor monotonicity:
+    lo <= p <= hi implies floor(lo/w) <= floor(p/w) <= floor(hi/w). Each
+    point lives in exactly one bin, so a pair appears at most once — no
+    dedup pass. Pick ``bin_width`` near the median interval length: cost is
+    O(sum(interval_len/width)) exploded rows vs O(points x intervals/width)
+    bin collisions.
+    """
+    p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_width))
+    i = (
+        intervals.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / bin_width),
+                    F.floor(F.col(hi_col) / bin_width),
+                )
+            ),
+        )
+    )
+    return (
+        i.join(p, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -143,3 +143,29 @@ def test_iceberg_dispatch_seam(spark, tmp_path):
     iceberg.write_round("seen", df, 1)
     assert routed == [("seen", 1)]
     assert not (tmp_path / "ice" / "seen" / "round=00001").exists()
+
+
+def test_range_join_is_equi_join(spark):
+    """The binned range join must plan as a hash/sort-merge EQUI join on the
+    bin — never BroadcastNestedLoopJoin/CartesianProduct — and must produce
+    exactly the theta join's result."""
+    from crawlspark.ops.temporal import interval_point_join
+
+    pts = spark.range(0, 500).select((F.col("id") * 7.3).alias("p"))
+    iv = spark.range(0, 60).select(
+        F.col("id").alias("iv_id"),
+        (F.col("id") * 55.0).alias("lo"),
+        (F.col("id") * 55.0 + 120.0).alias("hi"),
+    )
+    out = interval_point_join(pts, iv, "p", "lo", "hi", bin_width=120.0)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+    got = {(r["iv_id"], r["p"]) for r in out.collect()}
+    want = {
+        (r["iv_id"], r["p"])
+        for r in iv.crossJoin(pts)
+        .filter((F.col("p") >= F.col("lo")) & (F.col("p") <= F.col("hi")))
+        .collect()
+    }
+    assert got == want and len(got) > 0
