@@ -663,6 +663,17 @@ def q_orders_in_balance_range(spark, sf_dir):
     )
 
 
+
+def q_curation_audit(spark, sf_dir):
+    """Rows-only (SimHash fates are not SQL-expressible): the composed
+    curation pipeline (quality gate -> exact dedup -> near-dup clustering)
+    over the documents table, one explainable fate per input doc. Stage
+    semantics are pytest-verified (test_curation_pipeline_fates)."""
+    from crawlspark.ops.pipeline import curation_audit
+
+    return curation_audit(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -700,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "orders_in_balance_range": q_orders_in_balance_range,
         "embedding_near_dup": q_embedding_near_dup,
+        "curation_audit": q_curation_audit,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,

@@ -1,0 +1,102 @@
+"""Composed training-data curation pipeline (the end-to-end story every
+individual op exists for): quality-gate -> exact dedup -> near-dup
+clustering -> keep one canonical representative per cluster.
+
+One call, four stages, all lazily composed into Spark plans:
+
+1. quality gate — codegen'd feature columns (ops/text.quality_features),
+   rows below the floor are dropped with a reason;
+2. exact dedup — md5 window (min passing id per content hash) — a WINDOW,
+   not a self-join: joining a frame against its own derivative trips
+   Spark's ambiguous-self-join resolution, so per-group representatives
+   are computed in-lineage;
+3. near-dup discovery — SimHash + Manku block-combination banding over
+   DISTINCT signatures (ops/dedup.simhash_near_pairs) on the exact
+   representatives only;
+4. canonicalization — connected components over the pair graph
+   (ops/dedup.cluster_pairs); a doc survives iff it IS its cluster's
+   minimum-id representative (or belongs to no cluster).
+
+Everything shuffles on hashes/ids, never text except the unavoidable
+signature pass; nothing collects to the driver. The per-row outcome is
+auditable: ``curation_audit`` returns every input doc with its fate
+(kept / dropped_quality / dropped_exact_dup / dropped_near_dup) so
+filtering decisions stay explainable at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawlspark.ops.dedup import cluster_pairs, simhash_near_pairs, with_simhash
+from crawlspark.ops.text import quality_features
+
+
+def curation_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 40,
+    min_tokens: int = 5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Return every input doc with a ``fate`` column explaining whether a
+    curated corpus keeps it, and why not if not. Precedence:
+    quality < exact-dup < near-dup (a doc failing quality reports
+    dropped_quality even if it is also a duplicate)."""
+    scored = (
+        quality_features(docs, text_col)
+        .select(id_col, text_col, "text_len", "n_tokens")
+        .withColumn(
+            "_quality_ok",
+            (F.col("text_len") >= min_chars) & (F.col("n_tokens") >= min_tokens),
+        )
+        .withColumn("_md5", F.md5(F.col(text_col)))
+        .withColumn(
+            "_keep_id",
+            F.min(F.when(F.col("_quality_ok"), F.col(id_col))).over(
+                Window.partitionBy("_md5")
+            ),
+        )
+    )
+    exact_reps = scored.filter(
+        F.col("_quality_ok") & (F.col(id_col) == F.col("_keep_id"))
+    ).select(id_col, text_col)
+
+    pairs = simhash_near_pairs(
+        with_simhash(exact_reps, text_col), id_col=id_col, max_hamming=max_hamming
+    )
+    clusters = cluster_pairs(pairs).select(
+        F.col("id").alias("_cid"), "cluster_rep"
+    )
+    return (
+        scored.join(clusters, scored[id_col] == clusters["_cid"], "left")
+        .select(
+            id_col,
+            "text_len",
+            "n_tokens",
+            F.when(~F.col("_quality_ok"), F.lit("dropped_quality"))
+            .when(F.col(id_col) != F.col("_keep_id"), F.lit("dropped_exact_dup"))
+            .when(
+                F.col("cluster_rep").isNotNull()
+                & (F.col(id_col) != F.col("cluster_rep")),
+                F.lit("dropped_near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("fate"),
+        )
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The curated corpus itself: input docs whose audit fate is 'kept'."""
+    audit = curation_audit(docs, id_col, text_col, **kwargs)
+    return docs.join(
+        audit.filter(F.col("fate") == "kept").select(id_col), id_col
+    )

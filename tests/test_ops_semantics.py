@@ -251,3 +251,41 @@ def test_asof_join_semantics(spark):
         102: None,  # nothing at or before t=2... right has t=3 only -> None
         200: None,  # user 2 has no right rows
     }
+
+
+def test_curation_pipeline_fates(spark):
+    """Composed curation: quality gate, exact dedup, near-dup clustering —
+    every doc gets an explainable fate and precedence holds."""
+    from crawlspark.ops.pipeline import curate_corpus, curation_audit
+
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base = " ".join(vocab[(i * 7) % len(vocab)] for i in range(40))
+    rows = [
+        (1, base),                          # kept (cluster rep)
+        (2, base),                          # exact dup of 1
+        (3, base.replace("alpha", "OMEGA", 1)),  # near dup of 1 (1 word of 40)
+        (4, "too short"),                   # dropped_quality
+        (5, "a completely different document about spark shuffle planning "
+            "and partition pruning strategies at scale"),  # kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fates = {
+        r["doc_id"]: r["fate"]
+        for r in curation_audit(
+            docs, min_chars=20, min_tokens=4, max_hamming=10
+        ).collect()
+    }
+    assert fates == {
+        1: "kept",
+        2: "dropped_exact_dup",
+        3: "dropped_near_dup",
+        4: "dropped_quality",
+        5: "kept",
+    }
+    kept = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_chars=20, min_tokens=4, max_hamming=10
+        ).collect()
+    }
+    assert kept == {1, 5}
