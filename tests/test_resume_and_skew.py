@@ -34,15 +34,25 @@ def _assert_matches_oracle(storage, summary, cfg, seeds):
     assert summary["rounds"] == res.rounds
 
 
-def test_resume_exactness(spark, tmp_path):
+RESUME_CFG = CrawlConfig(max_depth=2, max_rounds=12, web_hosts=5, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def full_run(spark, tmp_path_factory):
+    """One uninterrupted reference crawl shared by every resume test (each
+    resume variant re-runs only its own interrupted half)."""
+    cfg = RESUME_CFG
+    seeds = synthweb.seed_list(cfg, n=15)
+    store = CrawlStorage(spark, tmp_path_factory.mktemp("full-run"))
+    summary = CrawlEngine(spark, cfg, store).run(seeds)
+    return store, summary, cfg, seeds
+
+
+def test_resume_exactness(spark, tmp_path, full_run):
     """Kill after round 2, resume with a fresh engine from the manifest —
     final tables must equal an uninterrupted run bit-for-bit
     (BASELINE.json:6,14 'resumes exactly')."""
-    cfg = CrawlConfig(max_depth=2, max_rounds=12, web_hosts=5, shuffle_partitions=4)
-    seeds = synthweb.seed_list(cfg, n=15)
-
-    full_store = CrawlStorage(spark, tmp_path / "full")
-    full_sum = CrawlEngine(spark, cfg, full_store).run(seeds)
+    full_store, full_sum, cfg, seeds = full_run
 
     part_store = CrawlStorage(spark, tmp_path / "part")
     eng = CrawlEngine(spark, cfg, part_store)
@@ -64,7 +74,7 @@ def test_resume_exactness(spark, tmp_path):
     _assert_matches_oracle(full_store, full_sum, cfg, seeds)
 
 
-def test_resume_overwrites_orphan_round_dirs(spark, tmp_path):
+def test_resume_overwrites_orphan_round_dirs(spark, tmp_path, full_run):
     """Crash INSIDE a round (after some sinks wrote, before the manifest
     commit): the next run must overwrite every orphan round dir — including
     a garbage Bloom sidecar — and still produce the uninterrupted run's
@@ -72,11 +82,7 @@ def test_resume_overwrites_orphan_round_dirs(spark, tmp_path):
     until their round re-commits."""
     import pathlib
 
-    cfg = CrawlConfig(max_depth=2, max_rounds=12, web_hosts=5, shuffle_partitions=4)
-    seeds = synthweb.seed_list(cfg, n=15)
-
-    full_store = CrawlStorage(spark, tmp_path / "full")
-    full_sum = CrawlEngine(spark, cfg, full_store).run(seeds)
+    full_store, full_sum, cfg, seeds = full_run
 
     part_store = CrawlStorage(spark, tmp_path / "part")
     eng = CrawlEngine(spark, cfg, part_store)
