@@ -163,10 +163,17 @@ class CrawlEngine:
         self.history: list[RoundMetrics] = []
 
     def _bloom_capacity(self) -> int:
-        # Per-bucket capacity; at 10^10 scale this comes from the frontier
-        # cardinality estimate (A6, approx_count_distinct) — here a fixed
-        # sandbox size well above any fixture's per-bucket URL count.
-        return 1 << 16
+        """Per-bucket Bloom capacity, sized from the A6 cardinality estimate
+        (approx_count_distinct over the frontier, committed in the round
+        manifest): a NEW bucket's filter is provisioned for ~4 rounds of
+        growth at the observed per-bucket rate, floored at 2^16. Existing
+        buckets keep their shape (the fold ORs into the previous blob);
+        undersizing only raises the FP rate, and the exact anti-join
+        backstop keeps correctness independent of the estimate (SURVEY.md
+        §2.3 exactness invariant)."""
+        est = int(getattr(self, "_last_distinct_est", 0) or 0)
+        per_bucket = -(-est * 4 // max(1, self.cfg.num_host_buckets))
+        return max(1 << 16, per_bucket)
 
     # ------------------------------------------------------------ robots
     def _robots_df(self) -> DataFrame:
@@ -424,6 +431,9 @@ class CrawlEngine:
         approx = int(
             prev_m.get("next_frontier_size", prev_m.get("frontier_size", 0)) or 0
         )
+        # A6 feed-forward: the previous round's HLL estimate sizes any NEW
+        # per-bucket Bloom filters this round's fold creates
+        self._last_distinct_est = int(prev_m.get("frontier_distinct_est", 0) or 0)
         round_parts = max(
             8,
             min(
@@ -730,6 +740,7 @@ class CrawlEngine:
                 "candidates": m.candidates,
                 "deduped": m.deduped,
                 "new_urls": m.new_urls,
+                "frontier_distinct_est": m.extras.get("frontier_distinct_est", 0),
                 "totals": totals,
             },
         )

@@ -168,3 +168,20 @@ def test_bloom_sidecar_gc(spark, tmp_path):
     from crawlspark.filters import load_bucket_blob
     f1 = load_bucket_blob(storage.bloom_base_path(), 2, 1)
     assert f1.contains_many(np.asarray(list(range(100, 150)) + list(range(300, 350)), dtype=np.int64)).all()
+
+
+def test_bloom_capacity_scales_with_estimate(spark, tmp_path):
+    """A6 feed-forward: the per-bucket capacity grows with the committed
+    frontier cardinality estimate, floored at 2^16 for small crawls, and a
+    bucket folded under a larger capacity still answers exactly (no FN)."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(num_host_buckets=4, shuffle_partitions=4)
+    eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path))
+    assert eng._bloom_capacity() == 1 << 16  # floor with no estimate
+    eng._last_distinct_est = 10_000_000
+    assert eng._bloom_capacity() == 10_000_000  # 4x growth over 4 buckets
+    eng._last_distinct_est = 100
+    assert eng._bloom_capacity() == 1 << 16  # floored again
