@@ -111,3 +111,28 @@ def politeness_gate(events: DataFrame, delay_seconds: float = 5.0) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def streaming_near_dup_filter(
+    docs: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming near-duplicate suppression: the SAME SimHash UDF the batch
+    dedup uses (ops/dedup.simhash_udf) signs each doc, and a watermarked
+    dropDuplicates on the signature keeps the first doc per signature inside
+    the horizon. This is the streaming rendering of the batch
+    exact-signature collapse (the banded near-pair join needs corpus-wide
+    self-joins and stays batch); state is bounded by the watermark exactly
+    like streaming_seen_filter."""
+    from crawlspark.ops.dedup import simhash_udf
+
+    signed = docs.withColumn("simhash", simhash_udf()(F.col("text")))
+    return signed.withWatermark("ts", watermark).dropDuplicates(["simhash"])

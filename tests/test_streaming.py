@@ -122,3 +122,39 @@ def test_politeness_gate_state_survives_restart(spark, tmp_path):
         "http://host00.example/p4": True,
         "http://host01.example/q0": True,
     }
+
+
+def test_streaming_near_dup_filter(spark, tmp_path):
+    """Docs streaming in with duplicate content collapse to the first per
+    SimHash signature; distinct docs pass."""
+    import json
+
+    src = tmp_path / "docs-src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        {"ts": "2026-01-01T00:00:01", "doc_id": 1, "text": base},
+        {"ts": "2026-01-01T00:00:02", "doc_id": 2, "text": base},  # dup
+        {"ts": "2026-01-01T00:00:03", "doc_id": 3,
+         "text": "an entirely different document about streaming state stores"},
+    ]
+    (src / "batch.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    from crawlspark.streaming.frontier_stream import (
+        DOC_SCHEMA,
+        streaming_near_dup_filter,
+    )
+
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    out = streaming_near_dup_filter(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM near_dup_out").collect()}
+    assert got == {1, 3}
