@@ -403,14 +403,18 @@ def q_lang_id(spark, sf_dir):
 def q_minhash_lsh_pairs(spark, sf_dir):
     from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
 
-    sigs = with_minhash(_t(spark, sf_dir, "documents"))
+    # persist the signature pass: the banding self-join and the per-pair
+    # re-attach reference it four times, and Spark re-runs an unpersisted
+    # UDF subtree per reference
+    sigs = with_minhash(_t(spark, sf_dir, "documents")).persist()
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
     from crawlspark.ops.dedup import simhash_near_pairs, with_simhash
 
-    return simhash_near_pairs(with_simhash(_t(spark, sf_dir, "documents")))
+    sigs = with_simhash(_t(spark, sf_dir, "documents")).persist()
+    return simhash_near_pairs(sigs)
 
 
 def q_ivf_topk(spark, sf_dir):
