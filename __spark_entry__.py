@@ -678,6 +678,18 @@ def q_curation_audit(spark, sf_dir):
     return curation_audit(_t(spark, sf_dir, "documents"))
 
 
+
+def q_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex tokenization (ops/text.with_bpe_tokens — pure JVM
+    regexp_extract_all) counted per doc; the oracle runs the identical
+    pattern through DuckDB's RE2."""
+    from crawlspark.ops.text import with_bpe_tokens
+
+    return with_bpe_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -699,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -841,6 +854,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_count": (
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+        ),
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+            " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT)"
+            " AS n_bpe_tokens FROM documents"
         ),
         "quality_score": (
             "SELECT doc_id, length(text) AS text_len,"

@@ -42,6 +42,21 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def with_bpe_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenization (the GPT-2-style split shape on its ASCII
+    subset [pub]: space-prefixed letter runs, digit runs, punctuation runs)
+    as a pure JVM regexp — whole-stage codegen, no python. `bpe_tokens` +
+    `n_bpe_tokens` columns; the counting query this feeds is the
+    training-cost estimator of a curation pipeline."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    return df.withColumn("bpe_tokens", toks).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token count, mean token length,
     English stopword ratio. All codegen'd column expressions."""
