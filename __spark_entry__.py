@@ -690,6 +690,21 @@ def q_bpe_token_count(spark, sf_dir):
     )
 
 
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Rows-only (the rolling-hash minima are not ANSI-expressible):
+    winnowing fingerprints (ops/text.with_winnow_fingerprints) summarized
+    per doc. The substring-sharing guarantee is pytest-verified
+    (test_winnow_fingerprints_guarantee)."""
+    from crawlspark.ops.text import with_winnow_fingerprints
+
+    return with_winnow_fingerprints(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.size("winnow_fps").alias("n_fps"),
+        F.array_min("winnow_fps").alias("fp_min"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -729,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_in_balance_range": q_orders_in_balance_range,
         "embedding_near_dup": q_embedding_near_dup,
         "curation_audit": q_curation_audit,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "lang_id": q_lang_id,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
