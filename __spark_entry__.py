@@ -705,6 +705,22 @@ def q_winnow_fingerprint(spark, sf_dir):
     )
 
 
+
+def q_media_features(spark, sf_dir):
+    """Feature-extract / resize / frame-sample over REAL decoded media
+    bytes (ops/multimodal.extract_media_features): BMP channel means come
+    from the actual pixel array, resize dims from a real nearest-neighbor
+    pass, WAV stats from the decoded PCM samples. The oracle recomputes
+    every value in closed form from doc_id arithmetic — the gradient and
+    ramp the generators write make the expected means/extrema exact
+    rationals with exact double representations."""
+    from crawlspark.ops.multimodal import attach_media, extract_media_features
+
+    return extract_media_features(
+        attach_media(_t(spark, sf_dir, "documents").select("doc_id"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -732,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
         "media_meta": q_media_meta,
+        "media_features": q_media_features,
         "url_resolve": q_url_resolve,
         "robots_match": q_robots_match,
         "tokens_topk": q_tokens_topk,
@@ -923,6 +940,31 @@ def oracle_sql() -> dict[str, str]:
             " CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2"
             "  ELSE NULL END AS INT) AS n_channels"
             " FROM documents"
+        ),
+        "media_features": (
+            "WITH d AS (SELECT doc_id, doc_id % 64 AS w1,"
+            "  (doc_id * 7) % 64 AS h1,"
+            "  100 + doc_id % 900 AS ns, 1 + doc_id % 2 AS ch,"
+            "  doc_id % 4 = 3 AS is_wav FROM documents)"
+            " SELECT doc_id,"
+            " CASE WHEN is_wav THEN 'wav' ELSE 'bmp' END AS kind,"
+            " CAST(CASE WHEN is_wav THEN NULL"
+            "  ELSE (3 * w1 + 4 + h1) / 2.0 END AS DOUBLE) AS mean_r,"
+            " CAST(CASE WHEN is_wav THEN NULL"
+            "  ELSE (3 * w1 + 2 + h1) / 2.0 END AS DOUBLE) AS mean_g,"
+            " CAST(CASE WHEN is_wav THEN NULL"
+            "  ELSE (3 * w1 + h1) / 2.0 END AS DOUBLE) AS mean_b,"
+            " CAST(CASE WHEN is_wav THEN NULL"
+            "  ELSE LEAST(8, w1 + 1) END AS INT) AS rs_w,"
+            " CAST(CASE WHEN is_wav THEN NULL"
+            "  ELSE LEAST(8, h1 + 1) END AS INT) AS rs_h,"
+            " CAST(CASE WHEN is_wav THEN (ns + 99) // 100"
+            "  ELSE NULL END AS INT) AS n_sampled,"
+            " CAST(CASE WHEN is_wav THEN"
+            "  (CASE WHEN ns * ch >= 1000 THEN 499 ELSE ns * ch - 501 END)"
+            "  ELSE NULL END AS INT) AS smp_max,"
+            " CAST(CASE WHEN is_wav THEN -500 ELSE NULL END AS INT) AS smp_min"
+            " FROM d"
         ),
         "url_resolve": (
             "SELECT * FROM (VALUES"

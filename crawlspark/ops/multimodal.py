@@ -179,3 +179,116 @@ def decode_media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media_bytes").mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+# ---------------------------------------------------- features / resize
+def decode_bmp_pixels(payload: bytes):
+    """Decode the 24-bpp pixel array of a make_bmp-style BMP into an
+    (h, w, 3) uint8 numpy array (bottom-up rows, 4-byte row padding —
+    parsed from the actual header fields, not assumed)."""
+    import numpy as np
+
+    w, h = struct.unpack_from("<ii", payload, 18)
+    off = struct.unpack_from("<I", payload, 10)[0]
+    h_abs = abs(h)
+    row = (3 * w + 3) // 4 * 4
+    px = np.frombuffer(payload, dtype=np.uint8, count=row * h_abs, offset=off)
+    px = px.reshape(h_abs, row)[:, : 3 * w].reshape(h_abs, w, 3)
+    if h > 0:  # bottom-up storage -> flip to top-down
+        px = px[::-1]
+    return px
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, c) array — pure indexing."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def wav_samples(payload: bytes):
+    """Decode the 16-bit PCM sample array of a make_wav-style RIFF file."""
+    import numpy as np
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"data":
+            return np.frombuffer(payload, dtype="<i2", count=csize // 2,
+                                 offset=pos + 8)
+        pos += 8 + csize + (csize & 1)
+    return None
+
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("rs_w", T.IntegerType()),
+        T.StructField("rs_h", T.IntegerType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("smp_max", T.IntegerType()),
+        T.StructField("smp_min", T.IntegerType()),
+    ]
+)
+
+
+def extract_media_features(
+    df: DataFrame, id_col: str = "doc_id", frame_stride: int = 100
+) -> DataFrame:
+    """Feature-extract / resize / frame-sample over REAL decoded bytes —
+    the full multimodal verb set, no codec libraries: BMP rows get channel
+    means of the actual pixel array plus the dimensions of a real
+    nearest-neighbor resize (to at most 8x8); WAV rows get the frame-sample
+    count at ``frame_stride`` plus min/max of the decoded PCM samples.
+    One mapInPandas pass, iterator-of-batches."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, b in zip(pdf[id_col], pdf["media_bytes"]):
+                payload = bytes(b)
+                meta = decode_media(payload)
+                row = {
+                    "doc_id": int(did), "kind": meta["kind"],
+                    "mean_r": None, "mean_g": None, "mean_b": None,
+                    "rs_w": None, "rs_h": None,
+                    "n_sampled": None, "smp_max": None, "smp_min": None,
+                }
+                if meta["kind"] == "bmp":
+                    px = decode_bmp_pixels(payload)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    rs = resize_nearest(
+                        px, min(8, px.shape[1]), min(8, px.shape[0])
+                    )
+                    # BMP pixel order is BGR; report RGB
+                    row.update(
+                        mean_b=float(means[0]), mean_g=float(means[1]),
+                        mean_r=float(means[2]),
+                        rs_w=int(rs.shape[1]), rs_h=int(rs.shape[0]),
+                    )
+                elif meta["kind"] == "wav":
+                    smp = wav_samples(payload)
+                    ch = meta["n_channels"] or 1
+                    frames = len(smp) // ch
+                    sampled = smp[:: frame_stride * ch]
+                    row.update(
+                        n_sampled=int(len(sampled)),
+                        smp_max=int(smp.max()), smp_min=int(smp.min()),
+                    )
+                out.append(row)
+            pdf_out = pd.DataFrame(out)
+            for c in ("rs_w", "rs_h", "n_sampled", "smp_max", "smp_min"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return df.select(id_col, "media_bytes").mapInPandas(
+        extract, MEDIA_FEATURES_SCHEMA
+    )

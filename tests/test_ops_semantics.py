@@ -313,3 +313,29 @@ def test_winnow_fingerprints_guarantee(spark):
     assert shared > 0.2, f"shared passage not detected: {shared}"
     disjoint = len(fps[1] & fps[3]) / len(fps[1] | fps[3])
     assert disjoint < 0.05, f"unrelated docs overlap: {disjoint}"
+
+
+def test_bmp_pixels_and_resize_roundtrip():
+    """Pixel decode must invert the generator exactly (padding stripped,
+    bottom-up flip applied) and resize must pick real source pixels."""
+    import numpy as np
+
+    from crawlspark.ops.multimodal import (
+        decode_bmp_pixels,
+        make_bmp,
+        resize_nearest,
+        wav_samples,
+        make_wav,
+    )
+
+    px = decode_bmp_pixels(make_bmp(5, 3))
+    assert px.shape == (3, 5, 3)
+    # stored bottom-up: decoded row 0 is the generator's last row (y=2)
+    assert px[0, 0, 0] == 2 and px[2, 0, 0] == 0
+    assert px[0, 1, 0] == 3 + 2  # byte x=3 of stored row y=2
+    rs = resize_nearest(px, 2, 2)
+    assert rs.shape == (2, 2, 3)
+    assert (rs[0, 0] == px[0, 0]).all()
+
+    smp = wav_samples(make_wav(8000, 2, 10))
+    assert len(smp) == 20 and smp[0] == -500 and smp[7] == -493
