@@ -501,10 +501,13 @@ def q_robots_match(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Rows-only: random fixture vectors have no natural near-duplicates, so
-    the query plants scaled copies (scaling preserves cosine exactly) of the
-    first 16 vectors under ids +100000 — the operator must pair each with
-    its original. Recall/precision semantics are pytest-verified
+    """Random fixture vectors have no natural near-duplicates, so the query
+    plants scaled copies (scaling preserves cosine exactly) of the first 16
+    vectors under ids +100000 — the operator must pair each with its
+    original and nothing else (random 64-dim vectors cannot reach cosine
+    0.95). The planted ids are arithmetic, so the expected pair set is a
+    VALUES-literal oracle — this is driver-hash-checked, not rows-only.
+    Recall/precision semantics are additionally pytest-verified
     (tests/test_sources_and_neardup.py)."""
     from crawlspark.ops.similarity import embedding_near_dup_pairs
 
@@ -519,6 +522,35 @@ def q_embedding_near_dup(spark, sf_dir):
         emb.unionByName(planted), threshold=0.95
     ).select("id_a", "id_b")
 
+
+
+_LANG_GOLDENS = [
+    # (case_id, text) — expected predictions live as literals in
+    # oracle_sql()["lang_id_eval"]; the function-word texts are constructed
+    # so each language's profile (ops/text._LANG_PROFILES) scores strictly
+    # highest, plus und-cases (empty, no profile hits anywhere).
+    (0, "the cat is on the mat and it was with his friend at the door"),
+    (1, "der hund ist mit der katze und das haus auf den feldern nicht"),
+    (2, "le chien est dans la maison et les chats sur le toit pour il"),
+    (3, "el perro es una casa y los gatos en el techo con no se del"),
+    (4, "il cane è in una casa e i gatti per il tetto con non si del"),
+    (5, ""),
+    (6, "12345 67890 ---"),
+    (7, "zqx wvu ptr mno"),
+    (8, "the the the"),
+    (9, "und zu den von ist nicht auch"),
+]
+
+
+def q_lang_id_eval(spark, sf_dir):
+    """Language-ID model goldens through the ENGINE's lang_id_udf (the same
+    argmax-over-function-word-profiles model `lang_id` runs over the fixture
+    corpus); the oracle is a DuckDB literal view of the expected labels —
+    the url_resolve pattern applied to the one model the text ops carry."""
+    from crawlspark.ops.text import with_lang_id
+
+    df = spark.createDataFrame(_LANG_GOLDENS, "case_id int, text string")
+    return with_lang_id(df).select("case_id", "lang_pred")
 
 
 def q_tokens_topk(spark, sf_dir):
@@ -751,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "url_resolve": q_url_resolve,
         "robots_match": q_robots_match,
+        "lang_id_eval": q_lang_id_eval,
         "tokens_topk": q_tokens_topk,
         "events_ordered_agg": q_events_ordered_agg,
         "lang_median_chars": q_lang_median_chars,
@@ -1041,6 +1074,19 @@ def oracle_sql() -> dict[str, str]:
             " MIN(event_id) AS min_event FROM ("
             " SELECT event_type, EXTRACT(hour FROM ts) AS hr, event_id"
             " FROM events) GROUP BY CUBE(event_type, hr)"
+        ),
+        "embedding_near_dup": (
+            "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b"
+            " FROM (VALUES (0,100000),(1,100001),(2,100002),(3,100003),"
+            " (4,100004),(5,100005),(6,100006),(7,100007),(8,100008),"
+            " (9,100009),(10,100010),(11,100011),(12,100012),(13,100013),"
+            " (14,100014),(15,100015)) AS t(id_a, id_b)"
+        ),
+        "lang_id_eval": (
+            "SELECT * FROM (VALUES"
+            " (0, 'en'), (1, 'de'), (2, 'fr'), (3, 'es'), (4, 'it'),"
+            " (5, 'und'), (6, 'und'), (7, 'und'), (8, 'en'), (9, 'de')"
+            ") AS t(case_id, lang_pred)"
         ),
         "robots_match": (
             "WITH paths AS (SELECT doc_id,"

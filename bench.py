@@ -487,7 +487,13 @@ def main() -> None:
             "docs_per_sec", total
         )
     )
-    line = {
+    # Full detail goes to a FILE; the stdout line stays compact. The driver
+    # keeps only the last ~2000 chars of stdout, and round 2's all-in-one
+    # line outgrew that window (BENCH_r02.json parsed: null) — the headline
+    # must survive the tail capture, so everything nested lives in
+    # BENCH_DETAIL.json next to this script and the line carries only the
+    # contract fields + per-query seconds + one-level scaling summaries.
+    detail = {
         "metric": "urls_fetched_deduped_per_sec",
         "value": value,
         "unit": "urls/sec",
@@ -497,11 +503,58 @@ def main() -> None:
         "runs in drained states — see BASELINE.md; per-level numbers and "
         "scaling efficiency are under big_crawl). Falls back to the small "
         "crawl, then docproc docs/sec, if budget-skipped",
-        "queries": result.get("queries", {}),
         "sf": sf,
-        **{k: v for k, v in result.items() if k != "queries"},
+        **result,
     }
-    print(json.dumps(line))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    def _compact_probe(probe: dict, thr_key: str) -> dict:
+        out = {}
+        for lvl in ("local8", "local32"):
+            v = probe.get(lvl, {}).get(thr_key)
+            if v is not None:
+                out[lvl] = v
+        for k in ("scaling_efficiency", "efficiency_vs_hw_ceiling"):
+            if k in probe:
+                out[k] = probe[k]
+        det = [probe.get(k) for k in ("rounds_equal", "fetched_equal", "seen_equal")]
+        if any(d is not None for d in det):
+            out["deterministic"] = all(det)
+        return out
+
+    line = {
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": value,
+        "unit": "urls/sec",
+        "suite_sec": total,
+        "sf": sf,
+        "queries": result.get("queries", {}),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    if "big_crawl" in result:
+        line["big_crawl"] = _compact_probe(
+            result["big_crawl"], "throughput_urls_per_sec"
+        )
+    if "crawl" in result:
+        line["crawl"] = _compact_probe(result["crawl"], "throughput_urls_per_sec")
+    if "docproc_scaling" in result:
+        line["docproc"] = _compact_probe(result["docproc_scaling"], "docs_per_sec")
+    if "hardware_calibration" in result:
+        line["hw_ceiling"] = result["hardware_calibration"][
+            "hardware_ceiling_efficiency"
+        ]
+    if result.get("skipped_parts"):
+        line["skipped_parts"] = result["skipped_parts"]
+    encoded = json.dumps(line)
+    if len(encoded) > 1900:  # hard guard: headline fields must survive the tail
+        line.pop("queries", None)
+        line["queries_note"] = "moved to BENCH_DETAIL.json (size guard)"
+        encoded = json.dumps(line)
+    print(encoded)
 
 
 if __name__ == "__main__":

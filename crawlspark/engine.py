@@ -468,28 +468,11 @@ class CrawlEngine:
             .drop("_flags")
             .persist()
         )
-        # one-pass stats (single job instead of three filter().count() jobs);
-        # nothing on the fetch path depends on them, so the job itself is
-        # deferred into the round-tail parallel group (one less barrier).
+        # Stats over this frame are NOT computed here: all of the round's
+        # counters fold into ONE tagged-union aggregation job (_round_stats)
+        # in the round-tail parallel group — nothing on the fetch path
+        # depends on them.
         m.frontier_size = approx  # exact: the previous manifest's arithmetic
-
-        def _admission_stats() -> None:
-            st = fr.agg(
-                F.count("*").alias("n"),
-                F.sum(F.col("is_banned").cast("long")).alias("banned"),
-                F.sum(
-                    (~F.col("is_banned") & ~F.col("is_allowed")).cast("long")
-                ).alias("disallowed"),
-                # A6: frontier cardinality estimate (HLL) — sizes the Bloom
-                # sidecars at scale; extra agg expressions, zero extra jobs
-                F.approx_count_distinct("url_hash").alias("distinct_est"),
-                F.approx_count_distinct("host").alias("hosts_est"),
-            ).first()
-            m.frontier_size = st["n"]
-            m.skipped_banned = int(st["banned"] or 0)
-            m.skipped_robots = int(st["disallowed"] or 0)
-            m.extras["frontier_distinct_est"] = int(st["distinct_est"])
-            m.extras["frontier_hosts_est"] = int(st["hosts_est"])
 
         tick("admission_plan")
 
@@ -539,16 +522,6 @@ class CrawlEngine:
         fetched = admitted.mapInPandas(
             _make_fetcher(cfg), FETCH_SCHEMA
         ).persist()
-
-        def _fetched_stats() -> None:
-            # reads the fetch cache (materialized by the edges write below);
-            # runs in the round-tail parallel group
-            fst = fetched.agg(
-                F.count("*").alias("n"),
-                F.sum((F.col("status") == 200).cast("long")).alias("ok"),
-            ).first()
-            m.fetched = fst["n"]
-            m.ok_200 = int(fst["ok"] or 0)
 
         # S3 documents append (contract schema + bookkeeping)
         docs = (
@@ -679,32 +652,81 @@ class CrawlEngine:
         metrics_df = self._metrics_df(rnd, fetched, disallowed, deferred, new)
 
         def _fold_and_save() -> None:
-            # A5 sidecar fold + filter checkpoint: depends only on the seen
-            # write above; runs concurrently with the other tail sinks
-            self._fold_into_bloom(
-                self.storage.read_round("seen", rnd), rnd, n_parts=py_parts
-            )
+            # A5 sidecar fold + filter checkpoint. Folds straight from the
+            # cached `new` frame (seen_add reads the cache the seen write
+            # above materialized) — re-reading the just-written seen parquet
+            # would pay disk+decode for rows already in block storage; at
+            # cluster scale that read-back is a full extra scan per round.
+            self._fold_into_bloom(seen_add, rnd, n_parts=py_parts)
             self.storage.save_filters(
                 rnd, dict(self._bloom_index), self.cuckoo.to_bytes()
             )
 
-        def _lagging_counts() -> None:
-            rows = (
-                edges.filter(F.col("p_depth") + 1 <= cfg.max_depth)
-                .select(F.lit("cand").alias("k"))
-                .unionByName(new.select(F.lit("new").alias("k")))
-                .unionByName(
-                    ranked.filter(F.col("host_rank") > F.col("host_budget"))
-                    .select(F.lit("def").alias("k"))
+        def _round_stats() -> None:
+            # ALL of the round's counters in ONE tagged-union aggregation job
+            # over five cached frames (round-2 ran three separate jobs:
+            # admission stats, fetch stats, lagging counts). Per-round driver
+            # actions are real fixed cost in local mode and at small rounds;
+            # every branch reads an already-materialized cache, the union
+            # does partial (map-side) aggregation per branch, and the final
+            # agg is one row.
+            def tag(df, k, **cols):
+                return df.select(
+                    F.lit(k).alias("k"),
+                    cols.get("u", F.lit(None).cast("long")).alias("u"),
+                    cols.get("h", F.lit(None).cast("string")).alias("h"),
+                    cols.get("b", F.lit(None).cast("boolean")).alias("b"),
+                    cols.get("a", F.lit(None).cast("boolean")).alias("a"),
+                    cols.get("s", F.lit(None).cast("int")).alias("s"),
                 )
-                .groupBy("k")
-                .count()
-                .collect()
+
+            u = (
+                tag(fr, "fr", u=F.col("url_hash"), h=F.col("host"),
+                    b=F.col("is_banned"), a=F.col("is_allowed"))
+                .unionByName(tag(fetched, "fet", s=F.col("status")))
+                .unionByName(
+                    tag(edges.filter(F.col("p_depth") + 1 <= cfg.max_depth),
+                        "cand")
+                )
+                .unionByName(tag(new, "new"))
+                .unionByName(
+                    tag(ranked.filter(F.col("host_rank") > F.col("host_budget")),
+                        "def")
+                )
             )
-            counts = {r["k"]: int(r["count"]) for r in rows}
-            m.candidates = counts.get("cand", 0)
-            m.new_urls = counts.get("new", 0)
-            m.skipped_politeness = counts.get("def", 0)
+            is_fr = F.col("k") == "fr"
+            is_fet = F.col("k") == "fet"
+            st = u.agg(
+                F.sum(is_fr.cast("long")).alias("n_fr"),
+                F.sum((is_fr & F.col("b")).cast("long")).alias("banned"),
+                F.sum(
+                    (is_fr & ~F.col("b") & ~F.col("a")).cast("long")
+                ).alias("disallowed"),
+                # A6: frontier cardinality estimates (HLL) — sizes the Bloom
+                # sidecars at scale; the sketch ignores the other branches'
+                # NULLs, so values match a frontier-only aggregation exactly
+                F.approx_count_distinct(
+                    F.when(is_fr, F.col("u"))
+                ).alias("distinct_est"),
+                F.approx_count_distinct(F.when(is_fr, F.col("h"))).alias(
+                    "hosts_est"
+                ),
+                F.sum(is_fet.cast("long")).alias("fetched"),
+                F.sum((is_fet & (F.col("s") == 200)).cast("long")).alias("ok"),
+                F.sum((F.col("k") == "cand").cast("long")).alias("cand"),
+                F.sum((F.col("k") == "new").cast("long")).alias("new"),
+                F.sum((F.col("k") == "def").cast("long")).alias("deferred"),
+            ).first()
+            m.frontier_size = int(st["n_fr"])
+            m.skipped_banned = int(st["banned"] or 0)
+            m.skipped_robots = int(st["disallowed"] or 0)
+            m.extras["frontier_distinct_est"] = int(st["distinct_est"])
+            m.extras["frontier_hosts_est"] = int(st["hosts_est"])
+            m.fetched = int(st["fetched"])
+            m.ok_200 = int(st["ok"] or 0)
+            m.candidates = int(st["cand"])
+            m.new_urls = int(st["new"])
+            m.skipped_politeness = int(st["deferred"])
 
         _parallel(
             lambda: self.storage.write_round("documents", docs, rnd),
@@ -713,9 +735,7 @@ class CrawlEngine:
             lambda: self.storage.write_round(
                 "metrics", metrics_df, rnd, cluster_by=None, num_files=1
             ),
-            _lagging_counts,
-            _admission_stats,
-            _fetched_stats,
+            _round_stats,
         )
         m.deduped = m.candidates - m.new_urls
         tick("tail_parallel_sinks")

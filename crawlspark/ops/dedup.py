@@ -275,7 +275,10 @@ def _simhash_key_expr(num_blocks: int, choose: int) -> str:
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -288,8 +291,18 @@ def simhash_near_pairs(
       clean ones, and that exact combination collides.
     Doc-level pairs are then expanded by joining ids back per signature;
     identical-signature docs (hamming 0) pair within their signature group.
+
+    ``num_blocks`` trades table count against key width (any value >
+    max_hamming is exhaustive by the same pigeonhole): the default
+    max_hamming+3 gives wide ~32-bit keys (10^9-doc buckets stay tiny);
+    num_blocks=5 at hamming ≤ 3 gives C(5,2)=10 tables of ~26-bit keys —
+    half the explode/shuffle rows, the right call below ~10^7 distinct
+    signatures where 26-bit buckets are still sparse.
     """
-    num_blocks = max_hamming + 3  # h dirty blocks still leave `choose` clean
+    if num_blocks is None:
+        num_blocks = max_hamming + 3  # h dirty blocks leave `choose` clean
+    if not (max_hamming < num_blocks <= 16):
+        raise ValueError(f"need max_hamming < num_blocks <= 16, got {num_blocks}")
     choose = num_blocks - max_hamming
     keyed = (
         sim_df.select("simhash")
@@ -402,11 +415,24 @@ def cluster_pairs(
         .distinct()
         .persist()
     )
+    # Each iteration TRUNCATES lineage with localCheckpoint: labels feeds two
+    # joins per step, so without truncation the logical plan doubles every
+    # iteration — exponential driver-side analysis (measured: OOM near
+    # diameter 16) — and the round-2 persist/unpersist ordering additionally
+    # recomputed all prior iterations' data (unpersisted parents before the
+    # lazy child cache materialized). localCheckpoint(eager=False) replaces
+    # the plan with a LogicalRDD; the convergence agg below is the action
+    # that materializes it, so each iteration is ONE job over O(1)-depth
+    # plans reading the previous iteration's cached blocks. (On a
+    # multi-executor cluster localCheckpoint trades executor-loss recovery
+    # for speed — the documented contract for iterative refinement; a
+    # reliable checkpoint dir restores recovery if needed.) Pinned by
+    # test_cluster_pairs_iteration_cost_is_flat.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -425,13 +451,10 @@ def cluster_pairs(
                 .cast("long")
                 .alias("_chg"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
-        old = labels
-        labels = new_labels.drop("_chg").persist()
-        old.unpersist()
-        new_labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
     edges.unpersist()

@@ -51,28 +51,9 @@ def brute_force_topk(
     )
 
 
-def embedding_near_dup_pairs(
-    vectors: DataFrame,
-    threshold: float = 0.9,
-    max_hamming: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    seed: int = 42,
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
-    (Charikar 2002 [pub]) — 64 sign bits of projections onto seeded Gaussian
-    hyperplanes pack into one BIGINT signature whose hamming distance
-    estimates the angle. Candidate pairs come from the same Manku-style
-    block-combination join as SimHash (C(h+3, 3) tables of wide packed keys,
-    exhaustive for hamming ≤ h by pigeonhole — dedup._simhash_key_expr), and
-    the banding shuffle carries only (id, signature, key): vectors re-attach
-    once per DISTINCT candidate pair for the exact cosine verify. No
-    candidate pair is trusted unverified.
-
-    Recall semantics: exhaustive in signature-hamming, probabilistic in
-    cosine — hamming/64 estimates angle/pi, so h=4 targets near-duplicates
-    (cos >= ~0.98); raise max_hamming (more, narrower tables) to chase
-    looser thresholds, or use brute_force_topk/ivf_topk for general ANN."""
+def rh_sig_udf(seed: int = 42):
+    """Random-hyperplane signature (Charikar 2002 [pub]): 64 sign bits of
+    projections onto seeded Gaussian hyperplanes packed into one BIGINT."""
 
     @F.pandas_udf("long")
     def _rh_sig(vecs: pd.Series) -> pd.Series:
@@ -95,35 +76,107 @@ def embedding_near_dup_pairs(
 
         return vecs.map(one)
 
+    return _rh_sig
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    max_hamming: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    num_blocks: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
+    (Charikar 2002 [pub]) — 64 sign bits of projections onto seeded Gaussian
+    hyperplanes pack into one BIGINT signature whose hamming distance
+    estimates the angle. Candidate pairs come from the same Manku-style
+    block-combination join as SimHash (C(h+3, 3) tables of wide packed keys,
+    exhaustive for hamming ≤ h by pigeonhole — dedup._simhash_key_expr),
+    banded over DISTINCT signatures with ids re-attached per signature pair,
+    so the banding shuffle carries only (signature, key) and duplicate-heavy
+    corpora cannot blow a bucket. Vectors re-attach once per candidate id
+    pair for the exact cosine verify. No candidate pair is trusted
+    unverified.
+
+    Recall semantics: exhaustive in signature-hamming, probabilistic in
+    cosine — hamming/64 estimates angle/pi, so h=4 targets near-duplicates
+    (cos >= ~0.98); raise max_hamming (more, narrower tables) to chase
+    looser thresholds, or use brute_force_topk/ivf_topk for general ANN."""
     from crawlspark.ops.dedup import _simhash_key_expr
 
-    num_blocks = max_hamming + 3
+    if num_blocks is None:
+        num_blocks = max_hamming + 3
+    if not (max_hamming < num_blocks <= 16):
+        raise ValueError(f"need max_hamming < num_blocks <= 16, got {num_blocks}")
     choose = num_blocks - max_hamming
+    # lazy persist: the signature UDF pass is referenced five times below
+    # (distinct, two id re-attaches, the same-signature self-join) and an
+    # unpersisted UDF subtree re-executes per reference
     sig = vectors.select(
-        F.col(id_col).alias("id"), _rh_sig(F.col(vec_col)).alias("simhash")
-    )
-    keyed = sig.select(
-        "id",
-        "simhash",
-        F.posexplode(F.expr(_simhash_key_expr(num_blocks, choose))).alias(
-            "tbl", "key"
-        ),
+        F.col(id_col).alias("id"), rh_sig_udf(seed)(F.col(vec_col)).alias("simhash")
+    ).persist()
+    # Band over DISTINCT signatures (exactly like dedup.simhash_near_pairs):
+    # duplicate-heavy vector sets — the case that motivates near-dup removal —
+    # contribute ONE row per signature per table to the banding self-join, so
+    # bucket populations are bounded by distinct-signature collisions, never
+    # by corpus duplication (pinned by
+    # test_embedding_buckets_bounded_under_duplicates).
+    keyed = (
+        sig.select("simhash")
+        .distinct()
+        .select(
+            "simhash",
+            F.posexplode(F.expr(_simhash_key_expr(num_blocks, choose))).alias(
+                "tbl", "key"
+            ),
+        )
     )
     l, r = keyed.alias("l"), keyed.alias("r")
-    cand = (
+    sig_pairs = (
         l.join(
             r,
             (F.col("l.tbl") == F.col("r.tbl"))
             & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.simhash") < F.col("r.simhash")),
         )
         .filter(
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
             <= max_hamming
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            F.col("l.simhash").alias("sig_a"), F.col("r.simhash").alias("sig_b")
+        )
+        .dropDuplicates(["sig_a", "sig_b"])
     )
+    cross_sig = (
+        sig_pairs.join(
+            sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a")),
+            "sig_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b")),
+            "sig_b",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    # identical signatures (hamming 0) pair within their signature group; the
+    # exact-cosine verify below still gates them (equal signs do NOT imply
+    # cosine >= threshold)
+    same_sig = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = cross_sig.unionByName(same_sig).dropDuplicates(["id_a", "id_b"])
     vecs = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     return (
         cand.join(vecs.select(F.col("id").alias("id_a"),

@@ -40,11 +40,20 @@ def canonical_url_stream(
 
 
 def streaming_seen_filter(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """Streaming URL-seen: watermarked dropDuplicates on url_hash — state
+    """Streaming URL-seen: dropDuplicatesWithinWatermark on url_hash — state
     is bounded by the watermark horizon; at 10^10 scale the horizon bounds
     the state store instead of an ever-growing set (the batch engine's exact
-    Bloom+anti-join handles the unbounded-history case)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["url_hash"])
+    Bloom+anti-join handles the unbounded-history case).
+
+    Why the WithinWatermark variant: plain ``dropDuplicates(["url_hash"])``
+    only evicts state when the event-time column is PART of the dedup keys —
+    keyed on url_hash alone it would keep every key forever and suppress
+    duplicates arriving beyond the horizon, contradicting the bounded-state
+    claim. ``dropDuplicatesWithinWatermark`` evicts each key once the
+    watermark passes its first-seen event time (Spark >= 3.5)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["url_hash"]
+    )
 
 
 def perhost_rate(events: DataFrame, window: str = "30 seconds") -> DataFrame:
@@ -126,13 +135,17 @@ def streaming_near_dup_filter(
     docs: DataFrame, watermark: str = "10 minutes"
 ) -> DataFrame:
     """Streaming near-duplicate suppression: the SAME SimHash UDF the batch
-    dedup uses (ops/dedup.simhash_udf) signs each doc, and a watermarked
-    dropDuplicates on the signature keeps the first doc per signature inside
-    the horizon. This is the streaming rendering of the batch
-    exact-signature collapse (the banded near-pair join needs corpus-wide
-    self-joins and stays batch); state is bounded by the watermark exactly
-    like streaming_seen_filter."""
+    dedup uses (ops/dedup.simhash_udf) signs each doc, and
+    dropDuplicatesWithinWatermark on the signature keeps the first doc per
+    signature inside the horizon. This is the streaming rendering of the
+    batch exact-signature collapse (the banded near-pair join needs
+    corpus-wide self-joins and stays batch); state is bounded by the
+    watermark exactly like streaming_seen_filter (same rationale for the
+    WithinWatermark variant: signature-only dropDuplicates would never evict
+    state)."""
     from crawlspark.ops.dedup import simhash_udf
 
     signed = docs.withColumn("simhash", simhash_udf()(F.col("text")))
-    return signed.withWatermark("ts", watermark).dropDuplicates(["simhash"])
+    return signed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )

@@ -224,6 +224,53 @@ def test_cluster_pairs_connected_components(spark):
     assert got == expect
 
 
+def _cc_cost(spark, diameter: int) -> dict:
+    """Run cluster_pairs on a chain of the given diameter inside a job group
+    and return correctness + executed-task totals from the status tracker."""
+    from crawlspark.ops.dedup import cluster_pairs
+
+    sc = spark.sparkContext
+    group = f"cc-cost-{diameter}"
+    sc.setJobGroup(group, group)
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(diameter)], "id_a long, id_b long"
+        )
+        got = {
+            r["id"]: r["cluster_rep"]
+            for r in cluster_pairs(pairs, max_iter=diameter + 5).collect()
+        }
+    finally:
+        sc.setJobGroup("cc-cost-done", "done")
+    assert got == {i: 0 for i in range(diameter + 1)}
+    st = sc.statusTracker()
+    tasks = 0
+    for j in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(j)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is not None and si.numCompletedTasks > 0:
+                tasks += si.numCompletedTasks
+    return {"tasks": tasks}
+
+
+def test_cluster_pairs_iteration_cost_is_flat(spark):
+    """Scale guard for the iterative CC operator: per-iteration cost must not
+    grow with the iteration index. A chain of diameter D needs ~D min-label
+    iterations; executed tasks must grow LINEARLY in D. The round-2
+    implementation recomputed the full label lineage every iteration
+    (unpersisted parents before the lazy child cache materialized) AND let
+    the logical plan double per iteration (driver OOM near diameter 16);
+    with lineage truncation (localCheckpoint) a diameter-24 chain costs
+    ~3x a diameter-8 chain, not ~9x — and completes at all."""
+    t8 = _cc_cost(spark, 8)["tasks"]
+    t24 = _cc_cost(spark, 24)["tasks"]
+    # linear → ratio ~3 (plus a constant offset); quadratic recompute → ~9
+    assert t24 <= 4.5 * t8, (t8, t24)
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of: latest right row at-or-before each left timestamp;
     exact-tie matches inclusively with min-id winning among equal

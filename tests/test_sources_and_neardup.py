@@ -74,3 +74,37 @@ def test_embedding_near_dup_pairs(planted_vectors):
     assert hits >= 10, f"found only {hits}/12 planted near-dup vector pairs"
     # all reported pairs satisfy the exact-cosine threshold (verified, not estimated)
     assert all(r["cos"] >= 0.95 for r in pairs)
+
+
+def test_embedding_buckets_bounded_under_duplicates(spark):
+    """Scale guard (mirror of test_simhash_buckets_bounded_under_duplicates):
+    the embedding-LSH banding join runs over DISTINCT signatures, so a
+    duplicate-heavy vector set (100 copies of one vector) contributes ONE
+    row per signature per table to the candidate join — while the verified
+    doc-level output still contains every duplicate pair (cos = 1.0)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawlspark.ops.dedup import _simhash_key_expr
+    from crawlspark.ops.similarity import embedding_near_dup_pairs, rh_sig_udf
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32)
+    rows = [(i, base.astype(float).tolist()) for i in range(100)]
+    rows += [
+        (1000 + i, rng.standard_normal(32).astype(float).tolist())
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sig = df.select(rh_sig_udf()(F.col("embedding")).alias("simhash"))
+    keyed = (
+        sig.distinct()
+        .select(F.posexplode(F.expr(_simhash_key_expr(7, 3))).alias("tbl", "key"))
+    )
+    max_bucket = keyed.groupBy("tbl", "key").count().agg(F.max("count")).first()[0]
+    assert max_bucket <= 5, f"bucket blowup: {max_bucket}"
+
+    pairs = embedding_near_dup_pairs(df, threshold=0.95, max_hamming=4)
+    n_same = pairs.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count()
+    assert n_same == 100 * 99 // 2  # every duplicate pair surfaces, verified
