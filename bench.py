@@ -512,20 +512,31 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
 
-    def _compact_probe(probe: dict, thr_key: str) -> dict:
-        out = {}
-        for lvl in ("local8", "local32"):
-            v = probe.get(lvl, {}).get(thr_key)
-            if v is not None:
-                out[lvl] = v
-        for k in ("scaling_efficiency", "efficiency_vs_hw_ceiling"):
-            if k in probe:
-                out[k] = probe[k]
-        det = [probe.get(k) for k in ("rounds_equal", "fetched_equal", "seen_equal")]
-        if any(d is not None for d in det):
-            out["deterministic"] = all(det)
-        return out
+    print(build_compact_line(result, value, total, sf))
 
+
+def _compact_probe(probe: dict, thr_key: str) -> dict:
+    out = {}
+    for lvl in ("local8", "local32"):
+        v = probe.get(lvl, {}).get(thr_key)
+        if v is not None:
+            out[lvl] = v
+    for k in ("scaling_efficiency", "efficiency_vs_hw_ceiling"):
+        if k in probe:
+            out[k] = probe[k]
+    det = [probe.get(k) for k in ("rounds_equal", "fetched_equal", "seen_equal")]
+    if any(d is not None for d in det):
+        out["deterministic"] = all(det)
+    return out
+
+
+def build_compact_line(result: dict, value, total, sf) -> str:
+    """The single stdout JSON line the driver parses. MUST stay under ~1900
+    chars (the driver keeps only the last ~2000 chars of stdout — round 2's
+    all-in-one line exceeded that and the headline went unrecorded), so it
+    carries only the contract fields, per-query seconds, and one-level
+    probe summaries; everything nested lives in BENCH_DETAIL.json. Pinned
+    by tests/test_bench_line.py."""
     line = {
         "metric": "urls_fetched_deduped_per_sec",
         "value": value,
@@ -554,7 +565,7 @@ def main() -> None:
         line.pop("queries", None)
         line["queries_note"] = "moved to BENCH_DETAIL.json (size guard)"
         encoded = json.dumps(line)
-    print(encoded)
+    return encoded
 
 
 if __name__ == "__main__":

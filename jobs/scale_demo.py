@@ -1,0 +1,143 @@
+"""Order-of-magnitude scale demonstration + hot-host skew stress.
+
+Runs the 10^6-URL crawl an order of magnitude above bench.py's big-round
+probe (10,000-host synthetic web, 25,000 seeds, depth 3, effectively
+unbounded politeness budget), then the SAME crawl with the skew fixture
+enabled (``CrawlConfig.hot_host`` routes ~50% of every page's out-links to
+one host — the hot-domain shape that breaks naive host-partitioned crawls
+at 10^10 scale). The demo asserts the skewed run's wall time stays within
+2x the balanced run: the engine's salted fetch repartition (64x oversalt)
+and url_hash-keyed dedup window are the mechanisms under test.
+
+Per-round tables print for BASELINE.md; the balanced run's per-round
+numbers must be bit-identical to the round-2 recorded table (engine
+refactors change wall time, never results).
+
+Usage:
+    python jobs/scale_demo.py [--skew-only | --balanced-only] [--cores 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+# runnable as `python jobs/scale_demo.py` from anywhere: the repo root (not
+# jobs/) carries the crawlspark package, for the driver AND the local-mode
+# python workers (which inherit PYTHONPATH, not the driver's sys.path)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+
+def make_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+def run_demo(cores: int, skew: bool) -> dict:
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    spark = make_spark(cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix=f"scale-demo-{'skew' if skew else 'bal'}-")
+    try:
+        cfg = CrawlConfig(
+            max_depth=3,
+            max_rounds=8,
+            web_hosts=10_000,
+            round_seconds=1e9,  # politeness effectively unbounded
+            shuffle_partitions=cores,
+            hot_host="host00.example" if skew else None,
+        )
+        seeds = synthweb.seed_list(cfg, n=25_000)
+        engine = CrawlEngine(spark, cfg, CrawlStorage(spark, root))
+        t0 = time.time()
+        summary = engine.run(seeds)
+        wall = time.time() - t0
+        rows = []
+        print(f"\n== {'SKEW (hot_host ~50% of links)' if skew else 'BALANCED'} "
+              f"local[{cores}] ==")
+        print("round | frontier | fetched | new URLs | deduped | HLL est")
+        for m in engine.history:
+            print(f"{m.round} | {m.frontier_size} | {m.fetched} | "
+                  f"{m.new_urls} | {m.deduped} | "
+                  f"{m.extras.get('frontier_distinct_est')}")
+            rows.append([m.round, m.frontier_size, m.fetched, m.new_urls,
+                         m.deduped])
+        fetched = summary["totals"]["fetched"]
+        deduped = sum(m.deduped for m in engine.history)
+        out = {
+            "skew": skew,
+            "cores": cores,
+            "wall_sec": round(wall, 2),
+            "fetched": fetched,
+            "deduped": deduped,
+            "seen": summary["totals"]["seen"],
+            "rounds": summary["rounds"],
+            "exhausted": summary["exhausted"],
+            "throughput_urls_per_sec": round((fetched + deduped) / wall, 1),
+            "per_round": rows,
+        }
+        print(json.dumps({k: v for k, v in out.items() if k != "per_round"}))
+        return out
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--skew-only", action="store_true")
+    ap.add_argument("--balanced-only", action="store_true")
+    args = ap.parse_args()
+
+    results = {}
+    if not args.skew_only:
+        results["balanced"] = run_demo(args.cores, skew=False)
+    if not args.balanced_only:
+        results["skew"] = run_demo(args.cores, skew=True)
+    if "balanced" in results and "skew" in results:
+        # The hot-host web is a different (smaller, duplicate-heavy) graph —
+        # routing half of all links to one host collapses the distinct-URL
+        # space — so wall times aren't directly comparable; per-URL
+        # throughput (fetched+deduped per second) is. A straggler-bound
+        # engine would crater under skew (one host's candidates pile into
+        # one partition); the salted fetch repartition and url_hash-keyed
+        # dedup window must hold throughput within 2x of balanced.
+        thr_b = results["balanced"]["throughput_urls_per_sec"]
+        thr_s = results["skew"]["throughput_urls_per_sec"]
+        ratio = thr_s / thr_b
+        results["skew_over_balanced_throughput"] = round(ratio, 3)
+        print(f"\nskew/balanced throughput ratio: {ratio:.3f} (must be >= 0.5)")
+        if ratio < 0.5:
+            print("SKEW REGRESSION: hot-host throughput below half of balanced")
+            sys.exit(1)
+    print("FINAL " + json.dumps(
+        {k: ({kk: vv for kk, vv in v.items() if kk != "per_round"}
+             if isinstance(v, dict) else v)
+         for k, v in results.items()}
+    ))
+
+
+if __name__ == "__main__":
+    main()

@@ -169,3 +169,38 @@ def test_range_join_is_equi_join(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_round_driver_job_count_is_flat_and_bounded(spark, tmp_path):
+    """Per-round driver-job budget: every Spark job carries ~0.5-1 s of fixed
+    scheduling latency in local mode, and at 10^10 scale each extra action is
+    an extra cluster-wide barrier. The round loop runs ONE fused tagged-union
+    stats job (admission + fetch + candidate/new/deferred counters), folds
+    the Bloom sidecar from the cached new-URLs frame (no seen read-back), and
+    overlaps the tail sinks — 13 jobs/round measured. This pins the budget
+    (<=14) and flatness (round k and k+1 identical), so an accidental extra
+    .count()/.collect() in the hot loop fails loudly."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(max_depth=2, max_rounds=3, web_hosts=6,
+                      shuffle_partitions=4)
+    eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path))
+    eng.bootstrap(synthweb.seed_list(cfg, n=20))
+
+    # AppStatusStore sees jobs from ALL threads (the tail sinks run in a
+    # thread pool, so thread-local job groups undercount them)
+    store = spark.sparkContext._jsc.sc().statusStore()
+
+    def n_jobs() -> int:
+        return store.jobsList(None).size()
+
+    n0 = n_jobs()
+    eng.run_round(1)
+    n1 = n_jobs()
+    eng.run_round(2)
+    n2 = n_jobs()
+    assert n1 - n0 == n2 - n1, f"per-round job count not flat: {n1-n0} vs {n2-n1}"
+    assert n1 - n0 <= 14, f"round launched {n1-n0} driver jobs (budget 14)"
