@@ -386,3 +386,55 @@ def test_bmp_pixels_and_resize_roundtrip():
 
     smp = wav_samples(make_wav(8000, 2, 10))
     assert len(smp) == 20 and smp[0] == -500 and smp[7] == -493
+
+
+def test_simhash_num_blocks_knob_is_exhaustive(spark):
+    """The num_blocks knob changes the table-count/key-width trade, never
+    recall: any num_blocks > max_hamming is exhaustive by pigeonhole. Pin it
+    with signatures at EXACT hamming distances (worst case for banding):
+    every pair within the bound must appear under both the default
+    (h+3 blocks) and the compact num_blocks=5 (C(5,2)=10 tables), and
+    beyond-bound pairs under neither."""
+    from pyspark.sql import functions as F
+
+    from crawlspark.ops.dedup import simhash_near_pairs
+
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    # id k (1..6) differs from base in exactly k bits (spread across blocks)
+    bit_positions = [0, 11, 22, 37, 49, 63]
+    sig = base
+    for k, b in enumerate(bit_positions, start=1):
+        sig ^= 1 << b
+        v = sig - (1 << 64) if sig >= (1 << 63) else sig
+        rows.append((k, v))
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    for nb in (None, 5):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_pairs(
+                df, max_hamming=3, num_blocks=nb
+            ).collect()
+        }
+        # hamming(i, j) = |bits_i XOR bits_j| = number of positions toggled
+        # between them = |i - j| here (each step toggles one fresh bit)
+        expect = {
+            (i, j)
+            for i in range(7)
+            for j in range(i + 1, 7)
+            if j - i <= 3
+        }
+        assert pairs == expect, (nb, pairs ^ expect)
+
+
+def test_simhash_num_blocks_rejects_bad_values(spark):
+    import pytest as _pytest
+
+    from crawlspark.ops.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame([(0, 1)], "doc_id long, simhash long")
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(df, max_hamming=3, num_blocks=3)
+    with _pytest.raises(ValueError):
+        simhash_near_pairs(df, max_hamming=3, num_blocks=17)
