@@ -1,58 +1,59 @@
-"""Contract check (BASELINE.json north_star): the engine must run via
-``spark-submit --py-files`` — i.e. the crawlspark package works when shipped
-as a zip to a driver/executors that do NOT have the repo on PYTHONPATH.
+"""Contract check (BASELINE.json north_star): the pipeline runs via
+``spark-submit --py-files crawlspark.zip`` — the package ships as an archive
+to a driver/executors whose working directory is NOT the repo, exactly as it
+would on a multi-executor cluster. Also exercises the seeds-file source
+(S1: `sources/seeds.load_seed_file`). `jobs/submit_demo.sh` is the same
+invocation as a standalone script."""
 
-Opt-in (SPARK_GRAFT_RUN_SUBMIT_TEST=1): the test spawns a second JVM, which
-would slow every suite run; `jobs/submit_demo.sh` is the same invocation as
-a standalone script. Verified green in this sandbox (BASELINE.md round 3)."""
+from __future__ import annotations
 
 import json
-import os
 import shutil
 import subprocess
-import sys
-import tempfile
+import zipfile
+from pathlib import Path
 
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REPO = Path(__file__).resolve().parent.parent
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
 @pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_RUN_SUBMIT_TEST") != "1",
-    reason="spawns a second JVM; run with SPARK_GRAFT_RUN_SUBMIT_TEST=1",
+    not Path(SPARK_SUBMIT).exists(), reason="spark-submit not on PATH"
 )
-def test_spark_submit_pyfiles_crawl():
-    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
-    if not os.path.exists(spark_submit):
-        pytest.skip("spark-submit not on this machine")
-    tmp = tempfile.mkdtemp(prefix="submit-test-")
-    zip_path = os.path.join(tmp, "crawlspark.zip")
-    subprocess.run(
-        [sys.executable, "-m", "zipfile", "-c", zip_path,
-         os.path.join(REPO, "crawlspark")],
-        check=True,
+def test_spark_submit_py_files(tmp_path):
+    zip_path = tmp_path / "crawlspark.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for f in (REPO / "crawlspark").rglob("*.py"):
+            z.write(f, f.relative_to(REPO))
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text(
+        "\n".join(f"http://host{i % 4:02d}.example/s{i}/start" for i in range(12))
     )
-    try:
-        out = subprocess.run(
-            [
-                spark_submit, "--master", "local[8]",
-                "--py-files", zip_path,
-                "--conf", "spark.sql.shuffle.partitions=8",
-                "--conf", "spark.ui.enabled=false",
-                os.path.join(REPO, "jobs", "run_crawl.py"),
-                "--root", os.path.join(tmp, "root"),
-                "--seed-count", "40", "--web-hosts", "12",
-                "--max-depth", "2", "--max-rounds", "8",
-                "--shuffle-partitions", "8",
-            ],
-            capture_output=True, text=True, timeout=280,
-            cwd=tmp,  # deliberately NOT the repo: only the zip provides the pkg
-        )
-        assert out.returncode == 0, out.stderr[-2000:]
-        summary = json.loads(out.stdout.strip().splitlines()[-1])
-        assert summary["rounds"] == 8
-        assert summary["totals"]["fetched"] > 0
-        assert summary["totals"]["seen"] >= summary["totals"]["fetched"]
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.sql.adaptive.enabled=false",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", str(zip_path),
+            str(REPO / "jobs" / "run_crawl.py"),
+            "--root", str(tmp_path / "crawl"),
+            "--seeds", str(seeds),
+            "--max-depth", "1",
+            "--max-rounds", "6",
+            "--web-hosts", "4",
+            "--shuffle-partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),  # NOT the repo: the zip must supply the package
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["totals"]["fetched"] > 0
+    assert summary["totals"]["seen"] >= summary["totals"]["fetched"]
+    assert (tmp_path / "crawl" / "_manifests").exists()
