@@ -312,6 +312,37 @@ def q_window_lag_delta(spark, sf_dir):
     )
 
 
+def q_events_running_1h(spark, sf_dir):
+    """RANGE-frame window (the missing frame family next to the ROWS-frame
+    lag/sessionize queries): per user, how many events — and how much value
+    — landed in the trailing 1 hour INCLUSIVE of the current row. RANGE
+    frames bound by VALUE not row position, so timestamp ties are peers in
+    both engines and the result is order-independent; Spark needs a numeric
+    sort key for rangeBetween (epoch micros), DuckDB takes the interval
+    natively — both bounds inclusive in both. Value sums go through
+    DECIMAL so the window sum is exact (double accumulation order would
+    differ between engines)."""
+    # ts is TIMESTAMP_NTZ: unix_micros() refuses it (LTZ-only) — micros
+    # since a fixed NTZ anchor is the TZ-invariant monotonic sort key
+    micros = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("n_1h", F.count("*").over(w))
+        .withColumn(
+            "sum_1h",
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .select("user_id", "event_id", "n_1h", "sum_1h")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -771,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_langs": q_distinct_langs,
         "json_props": q_json_props,
         "window_lag_delta": q_window_lag_delta,
+        "events_running_1h": q_events_running_1h,
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -904,6 +936,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id,"
             " value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta"
             " FROM events"
+        ),
+        "events_running_1h": (
+            "SELECT user_id, event_id,"
+            " CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,"
+            " CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h"
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
         ),
         "sessionize": (
             "SELECT user_id, event_id,"
