@@ -158,3 +158,40 @@ def test_streaming_near_dup_filter(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM near_dup_out").collect()}
     assert got == {1, 3}
+
+
+def test_streaming_seen_state_evicts_at_watermark(spark, tmp_path):
+    """The dedup-state EVICTION semantic (why dropDuplicatesWithinWatermark,
+    not plain dropDuplicates, which never evicts a keys-only state): a URL
+    first seen at t is suppressed inside the watermark horizon, but once the
+    watermark passes t + delay its state is dropped — the SAME URL arriving
+    later is admitted AGAIN. Bounded state means re-admission beyond the
+    horizon; the batch engine's exact Bloom+anti-join owns unbounded history.
+    Two runs over one checkpoint: run 1 ends with watermark 00:20 (> X's
+    00:00:01 + 10 min expiry), run 2 re-sends X at 00:40."""
+    from crawlspark.streaming import canonical_url_stream, streaming_seen_filter
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    x = "http://host00.example/evict/me"
+
+    _write_events(
+        src,
+        [
+            ("2026-01-01 00:00:01", x),
+            ("2026-01-01 00:00:05", x),  # dup inside horizon: suppressed
+            ("2026-01-01 00:30:00", "http://host01.example/watermark/pusher"),
+        ],
+        "run0",
+    )
+    stream = streaming_seen_filter(canonical_url_stream(spark, str(src)))
+    _run_available_now(stream, out, ckpt)
+
+    _write_events(src, [("2026-01-01 00:40:00", x)], "run1")
+    stream = streaming_seen_filter(canonical_url_stream(spark, str(src)))
+    _run_available_now(stream, out, ckpt)
+
+    got = [r["url_canon"] for r in spark.read.parquet(str(out)).collect()]
+    assert got.count(x) == 2, got  # once per horizon, NOT once forever
+    assert got.count("http://host01.example/watermark/pusher") == 1
