@@ -1,0 +1,166 @@
+"""N-vs-4N EXECUTOR scaling probe — the contract criterion's literal shape.
+
+BASELINE.json's north_rule asks for throughput scaling efficiency >= 0.8
+between N and 4N *executors*. bench.py's big-crawl probe approximates that
+with local[8] vs local[32] thread counts inside ONE JVM; this probe runs
+the SAME big-round crawl on Spark's `local-cluster[n, cores, mem]` master —
+n real executor JVMs with their own memory, python workers, netty shuffle
+and broadcast — at n=1 and n=4 executors x 8 cores. That is as close to a
+real two-size cluster as a single sandbox VM can get; the remaining gap to
+a real cluster is only that all executor JVMs share this machine's 16
+physical cores and its burst-credit throttle (BASELINE.md), which is why
+runs are interleaved (4,1,1,4 executors) best-of-2 like bench.py.
+
+The package ships to executors via addPyFile(zip) — nothing relies on the
+repo being on the executors' filesystem path (same discipline as
+jobs/submit_demo.sh).
+
+Usage: python jobs/executor_scaling.py [--budget SEC]
+Prints one JSON line: per-level throughput, scaling efficiency, determinism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+# module-level: the warm-up pandas_udf's type hints are strings under
+# `from __future__ import annotations` and resolve against module globals
+import pandas as pd
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+
+
+def _make_pyfiles_zip() -> str:
+    zip_base = os.path.join(tempfile.gettempdir(), "crawlspark-execscaling")
+    path = zip_base + ".zip"
+    if os.path.exists(path):
+        os.remove(path)
+    shutil.make_archive(zip_base, "zip", _REPO_ROOT, "crawlspark")
+    return path
+
+
+def run_crawl(n_executors: int, cores_per_exec: int, zip_path: str) -> dict:
+    from pyspark.sql import SparkSession
+
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    total_cores = n_executors * cores_per_exec
+    spark = (
+        SparkSession.builder.master(
+            f"local-cluster[{n_executors},{cores_per_exec},4096]"
+        )
+        .config("spark.sql.shuffle.partitions", str(max(8, total_cores)))
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.executor.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.addPyFile(zip_path)
+    root = tempfile.mkdtemp(prefix=f"execscale-{n_executors}x{cores_per_exec}-")
+    try:
+        cfg = CrawlConfig(
+            max_depth=3,
+            max_rounds=8,
+            web_hosts=2000,
+            round_seconds=1e9,
+            shuffle_partitions=max(8, total_cores),
+        )
+        engine = CrawlEngine(spark, cfg, CrawlStorage(spark, root))
+        seeds = synthweb.seed_list(cfg, n=4000)
+        # python-worker warm-up on every executor (bench.py rationale):
+        # worker spawn + library imports must not bill to the timed crawl
+        from pyspark.sql import functions as F
+
+        @F.pandas_udf("long")
+        def _warm(x: pd.Series) -> pd.Series:
+            import numpy  # noqa: F401
+            import pyarrow  # noqa: F401
+
+            from crawlspark import filters  # noqa: F401
+            from crawlspark.functions import canon  # noqa: F401
+
+            return x
+
+        spark.range(total_cores * 4).repartition(total_cores * 4).select(
+            _warm("id")
+        ).count()
+
+        t0 = time.time()
+        summary = engine.run(seeds)
+        wall = time.time() - t0
+        fetched = summary["totals"]["fetched"]
+        deduped = sum(m.deduped for m in engine.history)
+        return {
+            "executors": n_executors,
+            "cores_per_executor": cores_per_exec,
+            "wall_sec": round(wall, 2),
+            "fetched": fetched,
+            "deduped": deduped,
+            "seen": summary["totals"]["seen"],
+            "rounds": summary["rounds"],
+            "exhausted": summary["exhausted"],
+            "throughput_urls_per_sec": round((fetched + deduped) / wall, 1),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float, default=600.0,
+                    help="skip the mirrored pair past this many seconds")
+    # default 4: at 4N executors that is 16 concurrent task threads — this
+    # VM's physical core count. 8 cores/executor puts 32 task threads + 32
+    # python workers on 16 cores at 4N and the probe measures pure
+    # oversubscription (measured eff 0.07 with bit-identical outputs);
+    # cores_per_executor is the knob a real cluster would not need.
+    ap.add_argument("--cores-per-executor", type=int, default=4)
+    args = ap.parse_args()
+
+    zip_path = _make_pyfiles_zip()
+    t0 = time.time()
+    runs = []
+    # interleaved 4,1,1,4 (wide first = freshest credits to the level the
+    # throttle punishes hardest), best-of-2 per level, budget-guarded
+    for n in (4, 1, 1, 4):
+        if len(runs) >= 2 and time.time() - t0 > args.budget:
+            break
+        runs.append(run_crawl(n, args.cores_per_executor, zip_path))
+    by = lambda n: [r for r in runs if r["executors"] == n]  # noqa: E731
+    best = {
+        n: max(by(n), key=lambda r: r["throughput_urls_per_sec"])
+        for n in (1, 4) if by(n)
+    }
+    out: dict = {
+        "mode": "local-cluster (separate executor JVMs, netty shuffle)",
+        "n_executors": best.get(1),
+        "n4_executors": best.get(4),
+        "all_walls_sec": [r["wall_sec"] for r in runs],
+        "run_order_executors": [r["executors"] for r in runs],
+        "rounds_equal": len({r["rounds"] for r in runs}) == 1,
+        "fetched_equal": len({r["fetched"] for r in runs}) == 1,
+        "seen_equal": len({r["seen"] for r in runs}) == 1,
+    }
+    if 1 in best and 4 in best:
+        out["scaling_efficiency_1_to_4_executors"] = round(
+            best[4]["throughput_urls_per_sec"]
+            / (4 * best[1]["throughput_urls_per_sec"]),
+            3,
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
