@@ -56,4 +56,13 @@ class CrawlConfig:
     # — measured 2.4x round latency from oversizing — while big rounds open
     # up to the full shuffle_partitions. AQE cannot re-plan Python stages.
     fetch_rows_per_partition: int = 2000
+    # Table maintenance (storage.compact_table / expire_frontier_snapshots,
+    # the Iceberg rewrite_data_files / expire_snapshots analogs). Off by
+    # default: at fixture scale the rewrite job costs more than the listing
+    # it saves, and keeping every snapshot preserves full time travel. At
+    # the 10^10 design point the seen anti-join re-lists O(rounds) dirs per
+    # round, so a long crawl sets compact_seen_every to O(10-100) rounds and
+    # expire_frontier to reclaim the dead per-round frontier snapshots.
+    compact_seen_every: int | None = None
+    expire_frontier: bool = False
     extra_spark_conf: dict = field(default_factory=dict)

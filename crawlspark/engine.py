@@ -767,6 +767,14 @@ class CrawlEngine:
         # GC superseded Bloom blob rounds now that the manifest (and the
         # filter pickle carrying this round's index) is committed.
         self.storage.gc_bloom_rounds(self._bloom_index)
+        # Post-commit table maintenance (both no-ops unless configured):
+        # everything below this line only rewrites/reclaims storage layout —
+        # table contents, crawl state and resume points are unchanged, so a
+        # crash anywhere in here re-runs nothing and corrupts nothing.
+        if cfg.compact_seen_every and rnd % cfg.compact_seen_every == 0:
+            self.storage.compact_table("seen", upto_round=rnd)
+        if cfg.expire_frontier:
+            self.storage.expire_frontier_snapshots(keep_upto=rnd)
         m.extras["next_frontier_size"] = next_size
         m.extras["timings"] = timings
         for df in (fr, ranked, fetched, edges, cand, new):

@@ -123,19 +123,149 @@ class CrawlStorage:
     def read_table(self, table: str, upto_round: int | None = None) -> DataFrame:
         """Read the whole table with `round` as a partition column; a
         `round <= k` filter prunes to the committed snapshot set (dir
-        pruning on the parquet facade, partition pruning on Iceberg)."""
+        pruning on the parquet facade, partition pruning on Iceberg).
+
+        Compaction-aware: if a compaction pointer exists for the table, the
+        read is ``compacted(rounds ≤ upto)`` ∪ ``round dirs > upto`` — round
+        dirs at or below the pointer are never listed even if their GC hasn't
+        happened yet, which is what makes compaction crash-safe at every
+        step (see :meth:`compact_table`)."""
         if self.catalog:
             df = self.spark.table(f"{self.catalog}.{table}")
         else:
-            df = self.spark.read.option(
-                "basePath", str(self.root / table)
-            ).parquet(str(self.root / table))
+            ptr = self.compact_pointer(table)
+            if ptr is None:
+                df = self.spark.read.option(
+                    "basePath", str(self.root / table)
+                ).parquet(str(self.root / table))
+            else:
+                df = self.spark.read.parquet(
+                    str(self._compact_dir(table, ptr["upto"]))
+                )
+                live = self._round_dirs_above(table, ptr["upto"])
+                if live:
+                    live_df = self.spark.read.option(
+                        "basePath", str(self.root / table)
+                    ).parquet(*[str(d) for d in live])
+                    df = df.unionByName(live_df)
         if upto_round is not None:
-            df = df.filter(df["round"] <= upto_round)
+            df = df.filter(F.col("round") <= upto_round)
         return df
 
     def has_round(self, table: str, rnd: int) -> bool:
         return self._round_dir(table, rnd).exists()
+
+    # ---------------------------------------------------------- maintenance
+    # At the 10^10-URL design point a crawl spans O(10^4) rounds, so the
+    # append-only tables accumulate O(rounds × files-per-round) parquet
+    # files. The `seen` table is the hot one: the A2 anti-join re-lists and
+    # re-scans EVERY committed round dir each round, so file-listing alone
+    # degrades O(rounds) per round ≈ O(rounds²) over the crawl. These two
+    # maintenance verbs are the Iceberg table-service analogs
+    # (`rewrite_data_files` and `expire_snapshots`) rendered on the parquet
+    # facade; on the catalog branch they dispatch to the real procedures.
+
+    def _compact_dir(self, table: str, upto: int) -> Path:
+        # Kept OUTSIDE the table dir: Spark's file index would otherwise
+        # have to be told to skip it, and `_`-prefixed sibling dirs inside a
+        # table root are silently dropped by the parquet reader — an
+        # invisible-data trap rather than a loud error.
+        return self.root / "_compact" / table / f"upto={upto:05d}"
+
+    def compact_pointer(self, table: str) -> dict | None:
+        p = self.root / "_manifests" / f"compact-{table}.json"
+        return json.loads(p.read_text()) if p.exists() else None
+
+    def _round_dirs_above(self, table: str, above: int) -> list[Path]:
+        return sorted(
+            d
+            for d in (self.root / table).glob("round=*")
+            if int(d.name.split("=")[1]) > above
+        )
+
+    def compact_table(
+        self, table: str, upto_round: int, num_files: int | None = None
+    ) -> dict:
+        """Iceberg ``rewrite_data_files`` analog: rewrite all committed
+        rounds ≤ ``upto_round`` (plus any previous compaction) into one
+        host-hash-clustered file set, then atomically swap the compaction
+        pointer and GC the superseded dirs. Table CONTENTS are unchanged —
+        the `round` partition value is preserved as a data column, so
+        ``read_table`` results (including `round <= k` filters) are
+        row-identical before and after.
+
+        Crash-safe at every step, in write-then-commit order:
+        1. the compacted file set is written to a fresh ``upto=N`` dir —
+           readers still use the old pointer;
+        2. the pointer JSON is swapped atomically (tmp + ``os.replace``) —
+           from this instant ``read_table`` reads compacted ∪ dirs > N and
+           ignores covered round dirs whether or not they still exist;
+        3. GC deletes superseded compacted dirs and covered round dirs —
+           pure space reclamation, a crash mid-GC leaves dirs no read path
+           references.
+
+        Call only with ``upto_round`` ≤ the latest committed manifest round:
+        per-round snapshot reads (``read_round``) below the pointer are
+        retired — fine for append-only membership tables (`seen`), whose
+        per-round dirs the engine never re-reads after their commit."""
+        nf = num_files or self.num_buckets
+        if self.catalog:
+            return self._compact_iceberg(table)
+        df = self.read_table(table, upto_round=upto_round)
+        key = "host_hash" if "host_hash" in df.columns else None
+        df = df.repartition(nf, key) if key else df.repartition(nf)
+        out = self._compact_dir(table, upto_round)
+        df.write.mode("overwrite").parquet(str(out))
+        ptr_path = self.root / "_manifests" / f"compact-{table}.json"
+        tmp = ptr_path.with_suffix(".tmp")
+        tmp.write_text(
+            json.dumps({"table": table, "upto": upto_round}, sort_keys=True)
+        )
+        os.replace(tmp, ptr_path)
+        import shutil
+
+        for d in (self.root / "_compact" / table).glob("upto=*"):
+            if int(d.name.split("=")[1]) != upto_round:
+                shutil.rmtree(d, ignore_errors=True)
+        removed = []
+        for d in (self.root / table).glob("round=*"):
+            r = int(d.name.split("=")[1])
+            if r <= upto_round:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(r)
+        return {"table": table, "upto": upto_round, "files": nf,
+                "removed_rounds": sorted(removed)}
+
+    def _compact_iceberg(self, table: str) -> dict:
+        """Catalog branch: Iceberg's own table service does the rewrite —
+        file-level, invisible to readers, no pointer needed. Dispatch seam
+        mirrors ``_write_round_iceberg`` (no runtime jar in this sandbox)."""
+        cat = self.catalog.split(".")[0]
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files("
+            f"table => '{self.catalog}.{table}')"
+        )
+        return {"table": table, "mode": "iceberg-rewrite_data_files"}
+
+    def expire_frontier_snapshots(self, keep_upto: int) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog for the frontier table: drop
+        per-round frontier snapshot dirs below ``keep_upto``. The engine
+        reads exactly ONE frontier snapshot per round — the latest committed
+        one (``read_round("frontier", rnd-1)``, resume included) — so every
+        older snapshot is dead weight: at the design point that is
+        O(10^10-URL-frontier × 10^4 rounds) of parquet kept only for time
+        travel. Call only after the round manifest commits, with
+        ``keep_upto`` = the committed round, so a crash at any point still
+        resumes from a snapshot that exists."""
+        import shutil
+
+        removed = []
+        for d in (self.root / "frontier").glob("round=*"):
+            r = int(d.name.split("=")[1])
+            if r < keep_upto:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(r)
+        return sorted(removed)
 
     # -------------------------------------------------------------- manifest
     def commit_manifest(self, rnd: int, payload: dict) -> None:
