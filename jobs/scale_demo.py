@@ -50,7 +50,7 @@ def make_spark(cores: int):
     )
 
 
-def run_demo(cores: int, skew: bool) -> dict:
+def run_demo(cores: int, skew: bool, maintenance: bool = False) -> dict:
     from crawlspark.config import CrawlConfig
     from crawlspark.engine import CrawlEngine
     from crawlspark.sources import synthweb
@@ -58,7 +58,8 @@ def run_demo(cores: int, skew: bool) -> dict:
 
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix=f"scale-demo-{'skew' if skew else 'bal'}-")
+    tag = "maint" if maintenance else ("skew" if skew else "bal")
+    root = tempfile.mkdtemp(prefix=f"scale-demo-{tag}-")
     try:
         cfg = CrawlConfig(
             max_depth=3,
@@ -67,6 +68,10 @@ def run_demo(cores: int, skew: bool) -> dict:
             round_seconds=1e9,  # politeness effectively unbounded
             shuffle_partitions=cores,
             hot_host="host00.example" if skew else None,
+            # table maintenance: seen compaction every 2 rounds + frontier
+            # snapshot expiry — results must stay bit-identical
+            compact_seen_every=2 if maintenance else None,
+            expire_frontier=maintenance,
         )
         seeds = synthweb.seed_list(cfg, n=25_000)
         engine = CrawlEngine(spark, cfg, CrawlStorage(spark, root))
@@ -85,8 +90,20 @@ def run_demo(cores: int, skew: bool) -> dict:
                          m.deduped])
         fetched = summary["totals"]["fetched"]
         deduped = sum(m.deduped for m in engine.history)
+        import pathlib
+
+        rp = pathlib.Path(root)
+        seen_files = len(list((rp / "seen").rglob("*.parquet"))) + (
+            len(list((rp / "_compact" / "seen").rglob("*.parquet")))
+            if (rp / "_compact" / "seen").exists()
+            else 0
+        )
+        frontier_dirs = len(list((rp / "frontier").glob("round=*")))
         out = {
             "skew": skew,
+            "maintenance": maintenance,
+            "seen_parquet_files": seen_files,
+            "frontier_snapshot_dirs": frontier_dirs,
             "cores": cores,
             "wall_sec": round(wall, 2),
             "fetched": fetched,
@@ -109,11 +126,36 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--balanced-only", action="store_true")
+    ap.add_argument(
+        "--maintenance",
+        action="store_true",
+        help="also run the balanced crawl with seen compaction + frontier "
+        "expiry on and assert per-round results are bit-identical",
+    )
     args = ap.parse_args()
 
     results = {}
     if not args.skew_only:
         results["balanced"] = run_demo(args.cores, skew=False)
+    if args.maintenance:
+        results["maintenance"] = run_demo(args.cores, skew=False, maintenance=True)
+        if "balanced" in results:
+            same = (
+                results["maintenance"]["per_round"]
+                == results["balanced"]["per_round"]
+                and results["maintenance"]["seen"] == results["balanced"]["seen"]
+            )
+            results["maintenance_bit_identical"] = same
+            print(
+                f"\nmaintenance run bit-identical to balanced: {same}; "
+                f"seen parquet files {results['balanced']['seen_parquet_files']}"
+                f" -> {results['maintenance']['seen_parquet_files']}, frontier "
+                f"snapshot dirs {results['balanced']['frontier_snapshot_dirs']}"
+                f" -> {results['maintenance']['frontier_snapshot_dirs']}"
+            )
+            if not same:
+                print("MAINTENANCE REGRESSION: results differ from plain run")
+                sys.exit(1)
     if not args.balanced_only:
         results["skew"] = run_demo(args.cores, skew=True)
     if "balanced" in results and "skew" in results:

@@ -52,7 +52,23 @@ def test_round_partition_pruning(spark, tmp_path):
     assert pruned.select("round").distinct().count() == 2
 
 
-def test_scan_column_pruning(spark):
+def test_compacted_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """After compaction, a `round <= k` cut must still reach the scans: as a
+    parquet-pushed data filter on the compacted set (where `round` became a
+    data column) and as partition pruning on the still-live round dirs."""
+    from crawlspark.storage import CrawlStorage
+
+    storage = CrawlStorage(spark, tmp_path, num_buckets=4)
+    df = spark.range(10).withColumn("host_hash", (F.col("id") % 4).cast("int"))
+    for rnd in range(4):
+        storage.write_round("seen", df, rnd)
+    storage.compact_table("seen", upto_round=1)
+
+    cut = storage.read_table("seen", upto_round=2)
+    plan = _plan(cut)
+    assert "LessThanOrEqual(round,2)" in plan  # pushed into the compacted scan
+    assert "PartitionFilters" in plan  # live dirs (rounds 2,3) still prune
+    assert cut.count() == 30  # rounds 0,1 (compacted) + round 2 (live)
     """A 2-column projection must not read all 7 lineitem columns."""
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
