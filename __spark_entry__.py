@@ -784,6 +784,51 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (ops/text.with_hash_split):
+    md5-bucket assignment, stable under re-runs and appends. Oracle builds
+    the identical bucket via DuckDB's hex-literal cast."""
+    from crawlspark.ops.text import with_hash_split
+
+    return with_hash_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split_bucket", "split"
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (ops/text.scrub_pii) over text deterministically
+    augmented with an email- and a phone-shaped span built from doc_id —
+    both engines synthesize the identical augmented string, then count and
+    mask with the same ASCII regexes (Java regex vs RE2 parity, the
+    bpe_token_count discipline). The full scrubbed string is hash-compared."""
+    from crawlspark.ops.text import scrub_pii
+
+    aug = _t(spark, sf_dir, "documents").withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return scrub_pii(aug, "aug").select(
+        "doc_id", "n_emails", "n_phones", "scrubbed"
+    )
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Duplicate-bigram fraction (ops/text.with_repetition) — the
+    within-doc repetition quality signal; higher-order array functions
+    (transform over token indexes) vs DuckDB list_transform."""
+    from crawlspark.ops.text import with_repetition
+
+    return with_repetition(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", "rep_ratio"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -807,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
+        "hash_split": q_hash_split,
+        "pii_scrub": q_pii_scrub,
+        "repetition_ratio": q_repetition_ratio,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
@@ -964,6 +1012,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text,"
             " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT)"
             " AS n_bpe_tokens FROM documents"
+        ),
+        "hash_split": (
+            "WITH b AS (SELECT doc_id,"
+            " CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))"
+            "  AS INTEGER) % 100 AS INT) AS split_bucket FROM documents)"
+            " SELECT doc_id, split_bucket,"
+            " CASE WHEN split_bucket < 80 THEN 'train'"
+            "  WHEN split_bucket < 90 THEN 'val' ELSE 'test' END AS split"
+            " FROM b"
+        ),
+        "pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || ' contact user' ||"
+            " CAST(doc_id AS VARCHAR) || '@mail.example or 555-' ||"
+            " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t"
+            " FROM documents)"
+            " SELECT doc_id,"
+            " CAST(len(regexp_extract_all(t,"
+            "  '[A-Za-z0-9._]+@[A-Za-z0-9.]+')) AS INT) AS n_emails,"
+            " CAST(len(regexp_extract_all(t,"
+            "  '[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,"
+            " regexp_replace(regexp_replace(t,"
+            "  '[A-Za-z0-9._]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),"
+            "  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed"
+            " FROM aug"
+        ),
+        "repetition_ratio": (
+            "WITH g AS (SELECT doc_id, list_transform("
+            " range(1, len(string_split(text, ' '))),"
+            " i -> string_split(text, ' ')[i] || ' ' ||"
+            "  string_split(text, ' ')[i+1]) AS bg FROM documents)"
+            " SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams,"
+            " CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,"
+            " CASE WHEN len(bg) > 0 THEN CAST(1.0 AS DOUBLE)"
+            "  - CAST(len(list_distinct(bg)) AS DOUBLE)"
+            "  / CAST(len(bg) AS DOUBLE)"
+            "  ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio"
+            " FROM g"
         ),
         "quality_score": (
             "SELECT doc_id, length(text) AS text_len,"

@@ -167,3 +167,88 @@ def with_winnow_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 16, window: int = 8
 ) -> DataFrame:
     return df.withColumn("winnow_fps", winnow_udf(k, window)(F.col(text_col)))
+
+
+def with_hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = the first 16 bits
+    of md5(id) mod `buckets`. Hash-based (not random) so the split is
+    stable under re-runs, repartitioning and incremental appends — the
+    property a training pipeline needs so later crawl increments never
+    migrate documents between splits. Pure codegen (md5 + conv), no shuffle
+    and no sampling pass. `split_bucket` + `split` columns."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % buckets
+    )
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("split_bucket") < train_pct, F.lit("train"))
+        .when(F.col("split_bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+# ASCII-only patterns with identical semantics under Java regex (Spark) and
+# RE2 (DuckDB) — same cross-engine discipline as BPE_ISH_PATTERN above.
+PII_EMAIL_PATTERN = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+PII_PHONE_PATTERN = "[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training-data curation: count and mask email- and
+    phone-shaped spans. Whole-stage codegen (regexp_extract_all /
+    regexp_replace); `n_emails`, `n_phones`, `scrubbed` columns."""
+    emails = F.regexp_extract_all(
+        F.col(text_col), F.lit(PII_EMAIL_PATTERN), F.lit(0)
+    )
+    phones = F.regexp_extract_all(
+        F.col(text_col), F.lit(PII_PHONE_PATTERN), F.lit(0)
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), PII_EMAIL_PATTERN, "<EMAIL>"),
+        PII_PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("n_emails", F.size(emails))
+        .withColumn("n_phones", F.size(phones))
+        .withColumn("scrubbed", scrubbed)
+    )
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-bigram fraction — the within-document repetition signal of
+    public LLM curation pipelines (Gopher/MassiveText-style repetitious-text
+    filters [pub]): 1 − distinct-bigrams / bigrams. Higher-order array
+    functions only (transform over token indexes), fully JVM-side;
+    `n_bigrams`, `n_distinct_bigrams`, `rep_ratio` columns."""
+    out = with_tokens(df, text_col).withColumn(
+        "bigrams",
+        F.when(
+            F.size("tokens") >= 2,
+            F.expr(
+                "transform(sequence(0, size(tokens)-2),"
+                " i -> concat(tokens[i], ' ', tokens[i+1]))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return (
+        out.withColumn("n_bigrams", F.size("bigrams"))
+        .withColumn("n_distinct_bigrams", F.size(F.array_distinct("bigrams")))
+        .withColumn(
+            "rep_ratio",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.lit(1.0)
+                - F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

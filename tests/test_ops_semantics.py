@@ -438,3 +438,55 @@ def test_simhash_num_blocks_rejects_bad_values(spark):
         simhash_near_pairs(df, max_hamming=3, num_blocks=3)
     with _pytest.raises(ValueError):
         simhash_near_pairs(df, max_hamming=3, num_blocks=17)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Hash split: stable across invocations (same bucket every time), all
+    three labels present, and proportions near 80/10/10 at n=2000."""
+    from crawlspark.ops.text import with_hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: (r["split_bucket"], r["split"])
+         for r in with_hash_split(df).collect()}
+    b = {r["doc_id"]: (r["split_bucket"], r["split"])
+         for r in with_hash_split(df).collect()}
+    assert a == b
+    from collections import Counter
+
+    frac = Counter(v[1] for v in a.values())
+    assert 0.7 < frac["train"] / 2000 < 0.9
+    assert 0.05 < frac["val"] / 2000 < 0.15
+    assert 0.05 < frac["test"] / 2000 < 0.15
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from crawlspark.ops.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b@c.example and x@y.z plus 555-1234 done"),
+            (1, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[0]["n_emails"] == 2 and rows[0]["n_phones"] == 1
+    assert rows[0]["scrubbed"] == "mail <EMAIL> and <EMAIL> plus <PHONE> done"
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 0
+    assert rows[1]["scrubbed"] == "no pii here at all"
+
+
+def test_repetition_ratio_on_crafted_text(spark):
+    """'a b a b a' has 4 bigrams, 2 distinct -> ratio 0.5; a single token
+    has no bigrams -> ratio 0.0 (guarded, no sequence(0,-1) blowup)."""
+    from crawlspark.ops.text import with_repetition
+
+    df = spark.createDataFrame(
+        [(0, "a b a b a"), (1, "x"), (2, "p q r")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition(df).collect()}
+    assert rows[0]["n_bigrams"] == 4 and rows[0]["n_distinct_bigrams"] == 2
+    assert rows[0]["rep_ratio"] == 0.5
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["rep_ratio"] == 0.0
+    assert rows[2]["rep_ratio"] == 0.0
