@@ -829,6 +829,67 @@ def q_repetition_ratio(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Link-graph authority ranking (ops/graph.pagerank — the crawl-ordering
+    signal of Cho/Garcia-Molina/Page 1998): exact fixed-point-integer power
+    iteration, one shuffle per iteration, lineage truncated per step. The
+    graph is synthesized deterministically from orders (src = o_custkey,
+    dst = (o_custkey*31 + o_orderkey) mod |customer|), so the oracle is the
+    same 8 iterations unrolled as plain CTEs — integer arithmetic makes the
+    result bit-identical regardless of partitioning or engine."""
+    from crawlspark.ops.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.count()
+    nodes = cust.select(F.col("c_custkey").cast("long").alias("node"))
+    edges = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        ((F.col("o_custkey") * 31 + F.col("o_orderkey")) % n)
+        .cast("long")
+        .alias("dst"),
+    )
+    return pagerank(edges, nodes, iterations=8)
+
+
+def _pagerank_oracle(iterations: int = 8) -> str:
+    """Unrolled-CTE replica of ops/graph.pagerank's integer update rule.
+
+    Power iteration is a fixed-depth loop, so it IS ANSI-SQL-expressible
+    without recursion: one CTE per iteration, floor division (`//`) in
+    exactly the places the Spark operator uses `div`."""
+    cte = [
+        "nodes AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer)",
+        (
+            "edges AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,"
+            " CAST((o_custkey*31 + o_orderkey) % (SELECT COUNT(*) FROM customer)"
+            " AS BIGINT) AS dst FROM orders)"
+        ),
+        (
+            "ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN"
+            " (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src) d"
+            " ON e.src = d.src)"
+        ),
+        (
+            "params AS (SELECT 1000000000000 // COUNT(*) AS per_node,"
+            " (15 * (1000000000000 // COUNT(*))) // 100 AS base FROM customer)"
+        ),
+        "r0 AS (SELECT node, (SELECT per_node FROM params) AS pr FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        cte.append(
+            f"r{k} AS (SELECT n.node,"
+            " (SELECT base FROM params) + (85 * COALESCE(s.m, 0)) // 100 AS pr"
+            " FROM nodes n LEFT JOIN"
+            " (SELECT ed.dst, CAST(SUM(r.pr // ed.deg) AS BIGINT) AS m"
+            f" FROM ed JOIN r{k-1} r ON ed.src = r.node GROUP BY ed.dst) s"
+            " ON n.node = s.dst)"
+        )
+    return (
+        "WITH " + ", ".join(cte)
+        + f" SELECT node, CAST(pr AS BIGINT) AS pagerank_scaled FROM r{iterations}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
@@ -870,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pivot": q_lang_pivot,
         "events_cube": q_events_cube,
         "near_dup_clusters": q_near_dup_clusters,
+        "pagerank": q_pagerank,
         "events_asof": q_events_asof,
         "orders_in_balance_range": q_orders_in_balance_range,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1184,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM events l ASOF LEFT JOIN clicks r"
             " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
+        "pagerank": _pagerank_oracle(),
         "near_dup_clusters": (
             "WITH verts AS (SELECT DISTINCT v FROM ("
             " SELECT doc_id AS v FROM documents WHERE doc_id % 10 <= 2"
