@@ -829,6 +829,18 @@ def q_repetition_ratio(spark, sf_dir):
     )
 
 
+def q_quota_sample(spark, sf_dir):
+    """Deterministic per-group downsampling (ops/pipeline.quota_sample) —
+    training-data mixing by per-language quota. Rank = (md5(id), id), the
+    same reproducible pseudo-random order in both engines; the row_number
+    filter plans as WindowGroupLimit (map-side partial top-k)."""
+    from crawlspark.ops.pipeline import quota_sample
+
+    return quota_sample(
+        _t(spark, sf_dir, "documents"), group_col="lang", quota=40
+    ).select("doc_id", "lang", "qs_rank")
+
+
 def q_pagerank(spark, sf_dir):
     """Link-graph authority ranking (ops/graph.pagerank — the crawl-ordering
     signal of Cho/Garcia-Molina/Page 1998): exact fixed-point-integer power
@@ -932,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "near_dup_clusters": q_near_dup_clusters,
         "pagerank": q_pagerank,
+        "quota_sample": q_quota_sample,
         "events_asof": q_events_asof,
         "orders_in_balance_range": q_orders_in_balance_range,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1247,6 +1260,13 @@ def oracle_sql() -> dict[str, str]:
             " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "pagerank": _pagerank_oracle(),
+        "quota_sample": (
+            "SELECT doc_id, lang, qs_rank FROM ("
+            " SELECT doc_id, lang, CAST(ROW_NUMBER() OVER ("
+            "  PARTITION BY lang"
+            "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS qs_rank"
+            " FROM documents) WHERE qs_rank <= 40"
+        ),
         "near_dup_clusters": (
             "WITH verts AS (SELECT DISTINCT v FROM ("
             " SELECT doc_id AS v FROM documents WHERE doc_id % 10 <= 2"

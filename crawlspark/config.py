@@ -65,4 +65,15 @@ class CrawlConfig:
     # expire_frontier to reclaim the dead per-round frontier snapshots.
     compact_seen_every: int | None = None
     expire_frontier: bool = False
+    # Priority policy (SURVEY.md §2.4 P1). "bfs" = priority is the discovery
+    # depth (strict BFS, the reference-typical order). "indegree" = within a
+    # depth level, URLs linked more often in their discovery round are
+    # fetched first: priority = depth - min(in_round_links, cap)/(cap+1) —
+    # the cheap per-round rendering of the authority-ordered crawling result
+    # (Cho, Garcia-Molina & Page, WWW 1998; ops/graph.pagerank is the full
+    # offline signal). The boost < 1 so depth levels never interleave, and
+    # it is a pure function of the round's candidate multiset, so the
+    # sequential oracle reproduces the exact total order.
+    priority_mode: str = "bfs"
+    indegree_cap: int = 99
     extra_spark_conf: dict = field(default_factory=dict)

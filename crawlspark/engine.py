@@ -600,6 +600,23 @@ class CrawlEngine:
                 F.col("src_hash").alias("parent_hash"),
             )
         )
+        # P1 priority policy: "indegree" boosts URLs linked more often this
+        # round — priority = depth - min(n_links, cap)/(cap+1). The count
+        # window shares the dedup window's partitioning (url_hash), so
+        # Catalyst plans BOTH over ONE exchange; the boost is identical for
+        # every row of a url_hash partition, so first-wins tie-breaking
+        # inside the partition is unchanged. Exact-double discipline: count
+        # is a long, cast once, one division, one subtraction — the
+        # sequential oracle replays the identical IEEE-754 ops.
+        if cfg.priority_mode == "indegree":
+            wcnt = Window.partitionBy("url_hash")
+            boost = (
+                F.least(
+                    F.count(F.lit(1)).over(wcnt), F.lit(cfg.indegree_cap)
+                ).cast("double")
+                / F.lit(float(cfg.indegree_cap + 1))
+            )
+            cand = cand.withColumn("priority", F.col("priority") - boost)
         # A1 intra-round first-wins dedup
         wdup = Window.partitionBy("url_hash").orderBy(*DISCOVERY_ORDER)
         cand = (

@@ -89,6 +89,38 @@ def curation_audit(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    quota: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group downsampling for training-data mixing: keep at
+    most ``quota`` rows per ``group_col`` value (per-language / per-source
+    quotas are how corpus mixes are specified).
+
+    Rows within a group are ranked by ``(md5(id), id)`` — a pseudo-random
+    but fully reproducible order, so the sample is stable under re-runs,
+    repartitioning, and engine changes (the same property as
+    ``with_hash_split``), unlike ``sample()`` whose output depends on
+    partitioning. ``qs_rank`` is retained so the selection is auditable.
+
+    Scale: one shuffle on ``group_col``; the ``row_number() <= quota``
+    filter collapses to a WindowGroupLimit physical node (partial top-k on
+    the map side BEFORE the exchange), so a 10^10-row corpus ships at most
+    ``quota`` rows per group per input partition — pinned by
+    ``test_plans::test_quota_sample_is_window_group_limit``. A skewed group
+    (one lang = 90% of the corpus) therefore costs its mappers, not one
+    reducer.
+    """
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("qs_rank", F.row_number().over(w))
+        .filter(F.col("qs_rank") <= quota)
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

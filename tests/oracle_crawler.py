@@ -62,13 +62,21 @@ class _Entry:
     d_host: str
     d_rank: int
     d_pos: int
+    # explicit priority (engine P1): float(depth) under "bfs"; under
+    # "indegree" the crawl() loop subtracts the in-round link-count boost
+    # with the exact IEEE-754 ops the engine's column expression performs.
+    priority: float | None = None
+
+    def __post_init__(self):
+        if self.priority is None:
+            self.priority = float(self.depth)
 
     @property
     def order_key(self):
         # mirrors engine.DISCOVERY_ORDER (url_hash tiebreak never needed:
         # the discovery tuple is unique per URL — see engine docstring)
         return (
-            float(self.depth),
+            self.priority,
             self.discovered_round,
             self.d_time,
             self.d_host,
@@ -163,6 +171,20 @@ def crawl(cfg: CrawlConfig, seeds: list[str]) -> OracleResult:
                 m["candidates"] += 1
                 candidates.append(
                     _Entry(child, host_of(child), depth, rnd, fetch_time, host, rank, pos)
+                )
+
+        # P1 "indegree" priority: boost = min(in-round link count, cap) /
+        # (cap+1), identical per canonical URL — mirrors the engine's
+        # count-over-url_hash window on the same candidate multiset (after
+        # the depth filter, before dedup).
+        if cfg.priority_mode == "indegree":
+            n_links: dict[str, int] = {}
+            for c in candidates:
+                n_links[c.url_canon] = n_links.get(c.url_canon, 0) + 1
+            for c in candidates:
+                c.priority = float(c.depth) - (
+                    float(min(n_links[c.url_canon], cfg.indegree_cap))
+                    / float(cfg.indegree_cap + 1)
                 )
 
         # A1 first-wins intra-round dedup + A2 seen filter (exact)

@@ -130,6 +130,21 @@ def test_lsh_band_join_is_key_only(spark):
         )
 
 
+def test_quota_sample_is_window_group_limit(spark):
+    """quota_sample's row_number()<=k filter must collapse to a
+    WindowGroupLimit (map-side partial top-k BEFORE the group exchange) so a
+    10^10-row corpus ships at most quota rows per group per input partition,
+    and the rank expression must stay JVM-side (no Python node)."""
+    from crawlspark.ops.pipeline import quota_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(quota_sample(docs, group_col="lang", quota=40))
+    assert "WindowGroupLimit" in plan, plan
+    # partial limit runs on BOTH sides of the exchange: Partial then Final
+    assert "Partial" in plan.split("Exchange")[-1] or plan.count("WindowGroupLimit") >= 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_iceberg_dispatch_seam(spark, tmp_path):
     """catalog=None keeps the parquet facade (bit-for-bit existing
     behavior); catalog="..." routes every table write/read through the
