@@ -841,6 +841,50 @@ def q_quota_sample(spark, sf_dir):
     ).select("doc_id", "lang", "qs_rank")
 
 
+def q_lineitem_unpivot(spark, sf_dir):
+    """Wide->long reshape (§2.9 family): unpivot four lineitem measures into
+    (measure, value) rows — the inverse of lang_pivot. Values are already
+    double in the parquet, so no cast discipline is needed; both engines
+    emit one row per (line, measure)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )
+
+
+def q_text_edit_distance(spark, sf_dir):
+    """Levenshtein edit distance between each doc's text prefix and its
+    successor's (consecutive doc_ids) — the exact-verify primitive for
+    fuzzy matching that n-gram Jaccard approximates. Pure JVM codegen
+    (F.levenshtein); both engines run the classic DP on identical
+    40-char prefixes."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("p")
+    )
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("p").alias("p_next")
+    )
+    return (
+        d.join(nxt, "doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.levenshtein("p", "p_next").alias("edit_dist"))
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Link-graph authority ranking (ops/graph.pagerank — the crawl-ordering
     signal of Cho/Garcia-Molina/Page 1998): exact fixed-point-integer power
@@ -945,6 +989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "pagerank": q_pagerank,
         "quota_sample": q_quota_sample,
+        "lineitem_unpivot": q_lineitem_unpivot,
+        "text_edit_distance": q_text_edit_distance,
         "events_asof": q_events_asof,
         "orders_in_balance_range": q_orders_in_balance_range,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1260,6 +1306,21 @@ def oracle_sql() -> dict[str, str]:
             " ON l.user_id = r.user_id AND l.ts >= r.ts"
         ),
         "pagerank": _pagerank_oracle(),
+        "lineitem_unpivot": (
+            "SELECT l_orderkey, l_linenumber, measure, value FROM ("
+            " SELECT l_orderkey, l_linenumber, l_quantity AS quantity,"
+            "  l_extendedprice AS extendedprice, l_discount AS discount,"
+            "  l_tax AS tax FROM lineitem WHERE l_orderkey % 50 = 0)"
+            " UNPIVOT (value FOR measure IN"
+            "  (quantity, extendedprice, discount, tax))"
+        ),
+        "text_edit_distance": (
+            "SELECT d.doc_id,"
+            " CAST(levenshtein(substring(d.text, 1, 40),"
+            "  substring(n.text, 1, 40)) AS INT) AS edit_dist"
+            " FROM documents d JOIN documents n ON n.doc_id = d.doc_id + 1"
+            " WHERE d.doc_id % 10 = 0"
+        ),
         "quota_sample": (
             "SELECT doc_id, lang, qs_rank FROM ("
             " SELECT doc_id, lang, CAST(ROW_NUMBER() OVER ("
