@@ -556,3 +556,23 @@ def test_pagerank_iteration_cost_is_flat(spark):
     t4 = _pagerank_cost(spark, 4)
     t12 = _pagerank_cost(spark, 12)
     assert t12 <= 4.5 * t4, (t4, t12)
+
+
+def test_quota_sample_is_partitioning_invariant(spark):
+    """The md5 rank makes the sample a pure function of the data: the same
+    rows (AND the same ranks) come back regardless of input partitioning —
+    the property sample()/limit() lack and a training-data mix needs."""
+    from crawlspark.ops.pipeline import quota_sample
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("lang")
+    )
+    a = {
+        (r["doc_id"], r["qs_rank"])
+        for r in quota_sample(df, quota=10).collect()
+    }
+    b = {
+        (r["doc_id"], r["qs_rank"])
+        for r in quota_sample(df.repartition(13), quota=10).collect()
+    }
+    assert a == b and len({d for d, _ in a}) == 70
