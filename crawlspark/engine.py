@@ -354,6 +354,106 @@ class CrawlEngine:
             0, {"phase": "bootstrap", "frontier_size": n, "totals": {"seen": n}}
         )
 
+    def inject_seeds(self, seeds: list[str]) -> dict:
+        """Mid-crawl seed injection: add new seed URLs to a live (or even
+        exhausted) crawl as the crawl's next committed snapshot round.
+
+        The injection is a full round in the manifest protocol — frontier
+        snapshot, seen append, Bloom fold, filter pickle, then the atomic
+        manifest commit LAST — so it inherits every resume guarantee the
+        fetch rounds have: a crash mid-injection leaves orphan dirs that a
+        re-run overwrites (write_round is overwrite-idempotent), and a crash
+        after the commit resumes cleanly at the next round. Because the
+        manifest's ``next_frontier_size`` becomes non-zero again, injecting
+        into an exhausted crawl re-opens it — ``run()`` simply continues.
+
+        Semantics match bootstrap: seeds canonicalize, first-wins dedup by
+        seed position, and anti-join against the EXACT seen table
+        (enqueue-time seen — a URL ever crawled or enqueued is never
+        re-fetched, so injection is idempotent: re-injecting the same list
+        is a no-op). New entries enter at depth 0 / priority 0.0 with
+        ``discovered_round`` = the injection round. No fetching happens in
+        the injection round; the sequential oracle models the same round
+        (tests/oracle_crawler.crawl(injections=...)).
+        """
+        latest = self.storage.latest_manifest()
+        if latest is None:
+            self.bootstrap(seeds)
+            n = self.storage.manifest(0)["frontier_size"]
+            return {"round": 0, "injected": n, "phase": "bootstrap"}
+        rnd = latest["round"] + 1
+        # resume-shaped state load: the latest committed filter pickle is
+        # authoritative between runs (same path run() takes)
+        state = self.storage.load_filters(latest["round"])
+        self._bloom_index = {
+            int(b): int(r) for b, r in state["bloom_index"].items()
+        }
+        self.cuckoo = CuckooFilter.from_bytes(state["cuckoo"])
+
+        cfg = self.cfg
+        seeds_df = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "url string, seed_pos int"
+        )
+        canon = canonicalize_udf()
+        fr = (
+            seeds_df.withColumn("url_canon", canon("url"))
+            .filter(F.col("url_canon").isNotNull())
+        )
+        fr = with_url_identity(fr, num_buckets=cfg.num_host_buckets)
+        fr = (
+            fr.withColumn("depth", F.lit(0))
+            .withColumn("priority", F.lit(0.0))
+            .withColumn("discovered_round", F.lit(rnd))
+            .withColumn("d_time", F.lit(0.0))
+            .withColumn("d_host", F.lit(""))
+            .withColumn("d_rank", F.col("seed_pos"))
+            .withColumn("d_pos", F.lit(0))
+            .withColumn("parent_hash", F.lit(None).cast("long"))
+        )
+        w = Window.partitionBy("url_hash").orderBy(*DISCOVERY_ORDER)
+        fr = (
+            fr.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*FRONTIER_COLS)
+        )
+        seen = self.storage.read_table("seen", upto_round=rnd - 1).select(
+            "host_hash", "url_hash"
+        )
+        new = fr.join(seen, ["host_hash", "url_hash"], "left_anti").persist()
+        next_frontier = (
+            self.storage.read_round("frontier", rnd - 1)
+            .select(*FRONTIER_COLS)
+            .unionByName(new)
+        )
+        self.storage.write_round("frontier", next_frontier, rnd)
+        seen_add = new.select(
+            "url_hash", "url_canon", "host_hash", F.lit(rnd).alias("first_round")
+        )
+        self.storage.write_round("seen", seen_add, rnd)
+        n_new = self.storage.read_round("seen", rnd).count()
+        self._fold_into_bloom(self.storage.read_round("seen", rnd), rnd)
+        self.storage.save_filters(
+            rnd, dict(self._bloom_index), self.cuckoo.to_bytes()
+        )
+        prev_size = latest.get(
+            "next_frontier_size", latest.get("frontier_size", 0)
+        )
+        totals = dict(latest.get("totals", {}))
+        totals["seen"] = totals.get("seen", 0) + n_new
+        self.storage.commit_manifest(
+            rnd,
+            {
+                "phase": "inject",
+                "injected": n_new,
+                "frontier_size": prev_size,
+                "next_frontier_size": prev_size + n_new,
+                "totals": totals,
+            },
+        )
+        self.storage.gc_bloom_rounds(self._bloom_index)
+        new.unpersist()
+        return {"round": rnd, "injected": n_new, "phase": "inject"}
+
     def _fold_into_bloom(
         self, seen_rows: DataFrame, rnd: int, n_parts: int | None = None
     ) -> None:

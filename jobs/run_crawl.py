@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--unban-round", type=int, default=None)
     ap.add_argument(
+        "--priority-mode",
+        choices=["bfs", "indegree"],
+        default="bfs",
+        help="P1 policy: strict BFS, or in-degree boosted within a depth "
+        "level (see CrawlConfig.priority_mode)",
+    )
+    ap.add_argument(
         "--iceberg-catalog",
         default=None,
         help="catalog.db prefix: route table writes/reads through Iceberg "
@@ -55,6 +62,7 @@ def main() -> None:
         web_hosts=args.web_hosts,
         shuffle_partitions=args.shuffle_partitions,
         unban_round=args.unban_round,
+        priority_mode=args.priority_mode,
     )
     if args.seeds:
         seeds = load_seed_file(spark, args.seeds)

@@ -85,7 +85,17 @@ class _Entry:
         )
 
 
-def crawl(cfg: CrawlConfig, seeds: list[str]) -> OracleResult:
+def crawl(
+    cfg: CrawlConfig,
+    seeds: list[str],
+    injections: dict[int, list[str]] | None = None,
+) -> OracleResult:
+    """``injections`` maps round -> extra seed list: that round performs no
+    fetching — the seeds canonicalize, dedup first-wins by position, drop
+    already-seen, and join the frontier at depth 0 with discovered_round =
+    the injection round (mirrors engine.inject_seeds, which commits the
+    injection as its own snapshot round)."""
+    injections = injections or {}
     res = OracleResult()
     robots = {r["host"]: r for r in robots_table(cfg)}
 
@@ -99,6 +109,20 @@ def crawl(cfg: CrawlConfig, seeds: list[str]) -> OracleResult:
         frontier.append(_Entry(c, host_of(c), 0, 0, 0.0, "", i, 0))
 
     for rnd in range(1, cfg.max_rounds + 1):
+        if rnd in injections:
+            added = 0
+            for i, u in enumerate(injections[rnd]):
+                c = canonicalize_url(u)
+                if c is None or c in res.seen:
+                    continue
+                res.seen.add(c)
+                frontier.append(_Entry(c, host_of(c), 0, rnd, 0.0, "", i, 0))
+                added += 1
+            res.per_round.append(
+                {"round": rnd, "phase": "inject", "new_urls": added}
+            )
+            res.rounds = rnd
+            continue
         if not frontier:
             break
         m = {
@@ -201,6 +225,9 @@ def crawl(cfg: CrawlConfig, seeds: list[str]) -> OracleResult:
         frontier = deferred + banned_deferred + new
         res.per_round.append(m)
         res.rounds = rnd
-        if not frontier:
+        # an exhausted frontier ends the crawl — unless a later injection
+        # re-opens it (engine analog: run() returns, inject_seeds commits a
+        # new snapshot with next_frontier_size > 0, run() continues)
+        if not frontier and all(r <= rnd for r in injections):
             break
     return res

@@ -134,3 +134,55 @@ def test_indegree_priority_mode_matches_oracle(spark, tmp_path):
     )
     assert bfs.seen == want.seen
     assert bfs.crawl_order != want.crawl_order
+
+
+def test_seed_injection_matches_oracle(spark, tmp_path):
+    """Mid-crawl seed injection (engine.inject_seeds): crawl seeds1 to
+    exhaustion, inject a second seed list (some new, some already-seen),
+    continue — the whole multi-phase history must equal the single oracle
+    run with injections={round: seeds2}: seen set, total crawl order,
+    rounds. Injection is idempotent: re-injecting the same list adds 0 and
+    the re-opened crawl stays exhausted."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(max_depth=2, max_rounds=20, web_hosts=6, shuffle_partitions=4)
+    storage = CrawlStorage(spark, tmp_path / "inj")
+    seeds1 = synthweb.seed_list(cfg, n=12)
+    engine = CrawlEngine(spark, cfg, storage)
+    sum1 = engine.run(seeds1)
+    assert sum1["exhausted"]
+    k = sum1["rounds"]
+
+    # new URLs on known hosts + two already-seen dupes (must inject 0 rows
+    # for those) + one canonicalization trap
+    seeds2 = [
+        f"http://host0{i % 6}.example/injected{i}/page" for i in range(8)
+    ] + [seeds1[0], seeds1[3], "HTTP://HOST02.EXAMPLE:80/injected2/page#f"]
+    inj = engine.inject_seeds(seeds2)
+    assert inj["round"] == k + 1 and 0 < inj["injected"] <= 8
+    sum2 = CrawlEngine(spark, cfg, storage).run()  # fresh engine: resume path
+    assert sum2["exhausted"] and sum2["rounds"] > k + 1
+
+    want = oracle_crawler.crawl(cfg, seeds1, injections={k + 1: seeds2})
+    engine_seen = {
+        r["url_canon"]
+        for r in storage.read_table("seen").select("url_canon").collect()
+    }
+    assert engine_seen == want.seen
+    assert sum2["rounds"] == want.rounds
+    rows = (
+        storage.read_table("documents")
+        .select("round", "fetch_time", "host", "host_rank", "doc_id")
+        .orderBy("round", "fetch_time", "host", "host_rank")
+        .collect()
+    )
+    assert [(r["round"], r["doc_id"]) for r in rows] == want.crawl_order
+
+    # idempotency: same list again -> nothing new, crawl stays exhausted
+    inj2 = engine.inject_seeds(seeds2)
+    assert inj2["injected"] == 0
+    sum3 = CrawlEngine(spark, cfg, storage).run()
+    assert sum3["rounds_run_this_session"] == 0
