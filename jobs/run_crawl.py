@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     ap.add_argument("--unban-round", type=int, default=None)
     ap.add_argument(
+        "--inject",
+        action="store_true",
+        help="inject --seeds into the EXISTING crawl under --root as a "
+        "committed snapshot round (then continue crawling); without this "
+        "flag, seeds are only used to bootstrap an empty root",
+    )
+    ap.add_argument(
         "--priority-mode",
         choices=["bfs", "indegree"],
         default="bfs",
@@ -74,7 +81,11 @@ def main() -> None:
         num_buckets=cfg.num_host_buckets,
     )
     engine = CrawlEngine(spark, cfg, storage)
-    summary = engine.run(seeds)
+    if args.inject:
+        print(json.dumps(engine.inject_seeds(seeds)))
+        summary = engine.run()
+    else:
+        summary = engine.run(seeds)
     print(json.dumps(summary))
     spark.stop()
 
