@@ -69,6 +69,9 @@ def test_compacted_read_keeps_pushdown_and_pruning(spark, tmp_path):
     assert "LessThanOrEqual(round,2)" in plan  # pushed into the compacted scan
     assert "PartitionFilters" in plan  # live dirs (rounds 2,3) still prune
     assert cut.count() == 30  # rounds 0,1 (compacted) + round 2 (live)
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
     """A 2-column projection must not read all 7 lineitem columns."""
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
@@ -235,3 +238,36 @@ def test_round_driver_job_count_is_flat_and_bounded(spark, tmp_path):
     n2 = n_jobs()
     assert n1 - n0 == n2 - n1, f"per-round job count not flat: {n1-n0} vs {n2-n1}"
     assert n1 - n0 <= 14, f"round launched {n1-n0} driver jobs (budget 14)"
+
+
+def test_indegree_count_window_shares_dedup_exchange(spark):
+    """engine.run_round's "indegree" boost claims the count-over-url_hash
+    window rides the dedup window's exchange (same partitioning -> Catalyst
+    plans BOTH Window nodes over ONE hash exchange). Pin that shape on the
+    same expression pair the engine builds."""
+    from pyspark.sql import Window
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("url_hash"),
+        (F.col("id") % 5).cast("double").alias("priority"),
+        F.col("id").alias("d_pos"),
+    )
+    wcnt = Window.partitionBy("url_hash")
+    boost = F.least(F.count(F.lit(1)).over(wcnt), F.lit(99)).cast("double") / F.lit(100.0)
+    out = (
+        df.withColumn("priority", F.col("priority") - boost)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("url_hash").orderBy("priority", "d_pos")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    plan = _plan(out)
+    n_exchanges = sum(
+        1 for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+    )
+    assert n_exchanges == 1, plan
+    assert plan.count("Window") >= 2, plan
