@@ -569,6 +569,13 @@ def build_compact_line(result: dict, value, total, sf) -> str:
         line["skipped_parts"] = result["skipped_parts"]
     encoded = json.dumps(line)
     if len(encoded) > 1900:  # hard guard: headline fields must survive the tail
+        # loud, not silent: a missing `queries` block in a recorded BENCH_rN
+        # must be attributable to this guard, not to a bench bug
+        print(
+            f"bench: size guard fired ({len(encoded)} chars > 1900); "
+            "per-query seconds moved to BENCH_DETAIL.json",
+            file=sys.stderr,
+        )
         line.pop("queries", None)
         line["queries_note"] = "moved to BENCH_DETAIL.json (size guard)"
         encoded = json.dumps(line)

@@ -153,14 +153,32 @@ def lsh_candidate_pairs(
     """LSH banding: split each signature into `bands` rows of `num_perm/bands`
     values, bucket-join on (band, hash(rows)), emit distinct candidate pairs
     with the MinHash Jaccard estimate (fraction of equal signature slots).
-    Pure DataFrame ops: posexplode + self-join + zip_with aggregate."""
+    Pure DataFrame ops: posexplode + self-join + zip_with aggregate.
+
+    Banding runs over DISTINCT signatures (same recipe as
+    simhash_near_pairs and ops/similarity.embedding_near_dup_pairs):
+    duplicate-heavy corpora — the case that motivates dedup — contribute ONE
+    row per signature per band to the self-join, so bucket populations are
+    bounded by distinct-signature collisions, never by corpus duplication
+    (a corpus with D exact copies would otherwise put D rows into every one
+    of its 16 band buckets → D²·16 candidates). Pinned by
+    test_lsh_buckets_bounded_under_duplicates. Signature identity is a
+    64-bit xxhash64 of the full signature array (`sig_key`); the banding
+    join ships only (sig_key, band, band_hash); `est_jaccard` is computed
+    once per DISTINCT signature pair, then doc ids re-attach per sig_key
+    (identical-signature docs pair within their group at est_jaccard 1.0,
+    the exact value the slot comparison yields for equal arrays)."""
     r = num_perm // bands
-    # Band rows carry ONLY (id, band, band_hash): the banding join shuffles
-    # 20 bytes per row, never the 64x8-byte signature (that claim is pinned
-    # by test_lsh_band_join_is_key_only). Signatures re-attach below, once
-    # per DISTINCT candidate pair, not once per band collision.
-    banded = sig_df.select(
-        F.col(id_col).alias("id"),
+    dsig = (
+        sig_df.select("minhash")
+        .distinct()
+        .withColumn("sig_key", F.xxhash64("minhash"))
+    )
+    # Band rows carry ONLY (sig_key, band, band_hash): the banding join
+    # shuffles 24 bytes per row, never the 64x8-byte signature (pinned by
+    # test_lsh_band_join_is_key_only).
+    banded = dsig.select(
+        "sig_key",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -170,24 +188,24 @@ def lsh_candidate_pairs(
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    key_pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.sig_key") < F.col("r.sig_key")),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("l.sig_key").alias("key_a"), F.col("r.sig_key").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
     )
-    sigs = sig_df.select(F.col(id_col).alias("id"), "minhash")
-    return (
-        pairs.join(sigs.withColumnRenamed("minhash", "sig_a"),
-                   F.col("id_a") == F.col("id"))
-        .drop("id")
-        .join(sigs.withColumnRenamed("minhash", "sig_b"),
-              F.col("id_b") == F.col("id"))
-        .drop("id")
+    dmap = dsig.select("sig_key", "minhash")
+    sig_pairs = (
+        key_pairs.join(
+            dmap.select(F.col("sig_key").alias("key_a"),
+                        F.col("minhash").alias("sig_a")), "key_a")
+        .join(
+            dmap.select(F.col("sig_key").alias("key_b"),
+                        F.col("minhash").alias("sig_b")), "key_b")
         .withColumn(
             "est_jaccard",
             F.expr(
@@ -196,8 +214,31 @@ def lsh_candidate_pairs(
             ).cast("double")
             / F.lit(num_perm),
         )
-        .select("id_a", "id_b", "est_jaccard")
+        .select("key_a", "key_b", "est_jaccard")
     )
+    ids = sig_df.select(
+        F.col(id_col).alias("id"), F.xxhash64("minhash").alias("sig_key")
+    )
+    cross_sig = (
+        sig_pairs.join(ids.select(F.col("id").alias("id_a"),
+                                  F.col("sig_key").alias("key_a")), "key_a")
+        .join(ids.select(F.col("id").alias("id_b"),
+                         F.col("sig_key").alias("key_b")), "key_b")
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "est_jaccard",
+        )
+    )
+    same_sig = (
+        ids.alias("a")
+        .join(ids.alias("b"),
+              (F.col("a.sig_key") == F.col("b.sig_key"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"))
+    )
+    return cross_sig.unionByName(same_sig).dropDuplicates(["id_a", "id_b"])
 
 
 def simhash_udf(seed: int = 42):
@@ -454,7 +495,9 @@ def cluster_pairs(
             .localCheckpoint(eager=False)
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0] or 0
-        labels = new_labels
+        # drop the convergence bookkeeping column so it is not carried
+        # through every subsequent iteration's joins and checkpoints
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()

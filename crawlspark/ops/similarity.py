@@ -111,12 +111,16 @@ def embedding_near_dup_pairs(
     if not (max_hamming < num_blocks <= 16):
         raise ValueError(f"need max_hamming < num_blocks <= 16, got {num_blocks}")
     choose = num_blocks - max_hamming
-    # lazy persist: the signature UDF pass is referenced five times below
-    # (distinct, two id re-attaches, the same-signature self-join) and an
-    # unpersisted UDF subtree re-executes per reference
+    # localCheckpoint (not persist): the signature UDF pass is referenced
+    # five times below (distinct, two id re-attaches, the same-signature
+    # self-join) and an unpersisted UDF subtree re-executes per reference.
+    # persist() would pin the cache entry for the session lifetime (the
+    # CacheManager holds it by plan, not by reference — a leak across a
+    # many-query bench session); localCheckpoint blocks are reclaimed by the
+    # ContextCleaner once the driver-side reference goes away.
     sig = vectors.select(
         F.col(id_col).alias("id"), rh_sig_udf(seed)(F.col(vec_col)).alias("simhash")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Band over DISTINCT signatures (exactly like dedup.simhash_near_pairs):
     # duplicate-heavy vector sets — the case that motivates near-dup removal —
     # contribute ONE row per signature per table to the banding self-join, so

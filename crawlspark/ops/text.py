@@ -181,7 +181,14 @@ def with_hash_split(
     stable under re-runs, repartitioning and incremental appends — the
     property a training pipeline needs so later crawl increments never
     migrate documents between splits. Pure codegen (md5 + conv), no shuffle
-    and no sampling pass. `split_bucket` + `split` columns."""
+    and no sampling pass. `split_bucket` + `split` columns.
+
+    The percentage thresholds are scaled to `buckets` (floor), so a custom
+    bucket count keeps train/val/test proportions instead of silently
+    reinterpreting percentages as bucket indexes (train_pct=80 with
+    buckets=50 splits at bucket 40, not at 80 = everything)."""
+    train_cut = (buckets * train_pct) // 100
+    val_cut = (buckets * (train_pct + val_pct)) // 100
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
         .cast("int")
@@ -189,8 +196,8 @@ def with_hash_split(
     )
     return df.withColumn("split_bucket", bucket).withColumn(
         "split",
-        F.when(F.col("split_bucket") < train_pct, F.lit("train"))
-        .when(F.col("split_bucket") < train_pct + val_pct, F.lit("val"))
+        F.when(F.col("split_bucket") < train_cut, F.lit("train"))
+        .when(F.col("split_bucket") < val_cut, F.lit("val"))
         .otherwise(F.lit("test")),
     )
 

@@ -211,19 +211,38 @@ class CrawlStorage:
         nf = num_files or self.num_buckets
         if self.catalog:
             return self._compact_iceberg(table)
+        # Idempotence guard: a re-run (crash recovery, manual retry) with an
+        # already-covered upto_round must be a no-op. Without it, the
+        # overwrite below would clear the CURRENT _compact dir before the
+        # lazy read executes while the covered round=* dirs are already
+        # GC'd — permanent loss of every row <= upto. The pointer is the
+        # commit point, so pointer >= upto_round means the data is already
+        # compacted and safe.
+        ptr = self.compact_pointer(table)
+        if ptr is not None and ptr["upto"] >= upto_round:
+            return {"table": table, "upto": ptr["upto"], "noop": True,
+                    "removed_rounds": []}
         df = self.read_table(table, upto_round=upto_round)
         key = "host_hash" if "host_hash" in df.columns else None
         df = df.repartition(nf, key) if key else df.repartition(nf)
         out = self._compact_dir(table, upto_round)
-        df.write.mode("overwrite").parquet(str(out))
+        # Write-then-rename: the rewrite lands in a tmp dir invisible to
+        # both readers (pointer unswapped) and the GC glob (`upto=*`), then
+        # renames into place — a crash mid-write leaves only the tmp dir,
+        # which the next successful compaction's write simply replaces.
+        tmp_out = out.parent / f".tmp-{out.name}"
+        import shutil
+
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        df.write.mode("overwrite").parquet(str(tmp_out))
+        shutil.rmtree(out, ignore_errors=True)  # stale dir from a crashed run
+        os.replace(tmp_out, out)
         ptr_path = self.root / "_manifests" / f"compact-{table}.json"
         tmp = ptr_path.with_suffix(".tmp")
         tmp.write_text(
             json.dumps({"table": table, "upto": upto_round}, sort_keys=True)
         )
         os.replace(tmp, ptr_path)
-        import shutil
-
         for d in (self.root / "_compact" / table).glob("upto=*"):
             if int(d.name.split("=")[1]) != upto_round:
                 shutil.rmtree(d, ignore_errors=True)

@@ -168,6 +168,36 @@ def test_compaction_crash_safety(spark, tmp_path):
     )
 
 
+def test_compaction_rerun_is_noop(spark, tmp_path):
+    """A re-run with an already-covered upto_round (crash recovery, manual
+    retry) is an idempotent no-op. Without the pointer guard the overwrite
+    would clear the live _compact dir before the lazy read of it executes —
+    with the covered round dirs already GC'd, every row <= upto would be
+    permanently lost."""
+    store = CrawlStorage(spark, tmp_path, num_buckets=4)
+    for rnd in range(3):
+        df = spark.range(rnd * 5, rnd * 5 + 5).withColumn(
+            "host_hash", (F.col("id") % 4).cast("int")
+        )
+        store.write_round("seen", df, rnd)
+    store.compact_table("seen", upto_round=2)
+    before = sorted(
+        (r["id"], r["round"]) for r in store.read_table("seen").collect()
+    )
+    assert len(before) == 15
+
+    # same upto: no-op, nothing lost
+    info = store.compact_table("seen", upto_round=2)
+    assert info.get("noop") is True and info["upto"] == 2
+    # upto BELOW the pointer: also a no-op (covered dirs no longer exist)
+    info = store.compact_table("seen", upto_round=1)
+    assert info.get("noop") is True and info["upto"] == 2
+    after = sorted(
+        (r["id"], r["round"]) for r in store.read_table("seen").collect()
+    )
+    assert after == before
+
+
 def test_compaction_shrinks_file_listing(spark, tmp_path):
     """The point of the exercise: the file set the per-round seen anti-join
     lists drops from O(rounds × files-per-round) to the compacted set."""

@@ -169,6 +169,54 @@ def test_simhash_buckets_bounded_under_duplicates(spark):
     assert n_same == 100 * 99 // 2  # every duplicate pair surfaces
 
 
+def test_lsh_buckets_bounded_under_duplicates(spark):
+    """Scale guard (mirror of test_simhash_buckets_bounded_under_duplicates
+    for the MinHash family): the LSH banding join runs over DISTINCT
+    signatures, so a duplicate-heavy corpus (100 copies of one doc)
+    contributes ONE row per signature per band to the candidate self-join —
+    max bucket population is bounded by distinct-signature collisions, not
+    corpus size — while the doc-level output still contains every duplicate
+    pair at est_jaccard 1.0."""
+    from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
+
+    rows = [(i, "the same exact duplicated document body " * 4) for i in range(100)]
+    # the distinct docs share NO word 3-shingles (every word is i-suffixed),
+    # so band collisions among them measure the banding structure, not
+    # legitimate content similarity
+    rows += [
+        (1000 + i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} eta{i}")
+        for i in range(30)
+    ]
+    sigs = with_minhash(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).persist()
+
+    bands, num_perm = 16, 64
+    r = num_perm // bands
+    banded = (
+        sigs.select("minhash").distinct()
+        .select(
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), "
+                    f"b -> hash(slice(minhash, b*{r}+1, {r})))"
+                )
+            ).alias("band", "band_hash")
+        )
+    )
+    max_bucket = (
+        banded.groupBy("band", "band_hash").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= 5, f"bucket blowup: {max_bucket}"
+
+    pairs = lsh_candidate_pairs(sigs).persist()
+    dup_pairs = pairs.filter((F.col("id_a") < 100) & (F.col("id_b") < 100))
+    assert dup_pairs.count() == 100 * 99 // 2  # every duplicate pair surfaces
+    assert dup_pairs.filter(F.col("est_jaccard") != 1.0).count() == 0
+    sigs.unpersist()
+    pairs.unpersist()
+
+
 def test_media_decode_parses_real_headers(spark):
     """The multimodal decode is a real container parser: metadata comes out
     of the BYTES (BMP BITMAPINFOHEADER / WAV fmt+data chunks), malformed or
@@ -457,6 +505,15 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 0.7 < frac["train"] / 2000 < 0.9
     assert 0.05 < frac["val"] / 2000 < 0.15
     assert 0.05 < frac["test"] / 2000 < 0.15
+
+    # percentages are scaled to the bucket count: buckets=50 keeps ~80/10/10
+    # (thresholds 40/45), it does not reinterpret 80 as a bucket index
+    frac50 = Counter(
+        r["split"] for r in with_hash_split(df, buckets=50).collect()
+    )
+    assert 0.7 < frac50["train"] / 2000 < 0.9
+    assert 0.04 < frac50["val"] / 2000 < 0.16
+    assert 0.04 < frac50["test"] / 2000 < 0.16
 
 
 def test_scrub_pii_masks_and_counts(spark):

@@ -108,10 +108,11 @@ def test_ann_brute_force_broadcasts_queries(spark):
 
 
 def test_lsh_band_join_is_key_only(spark):
-    """The LSH banding join must shuffle only (id, band, band_hash) — never
-    the 64-slot minhash array (ops/dedup.py docstring claim). Every exchange
-    that feeds the band-bucket join must not carry a minhash column; the
-    signatures re-attach in later joins keyed by the deduped pair ids."""
+    """The LSH banding join must shuffle only (sig_key, band, band_hash) —
+    never the 64-slot minhash array (ops/dedup.py docstring claim). Every
+    exchange that feeds the band-bucket join must not carry a minhash
+    column; signatures re-attach once per DISTINCT signature pair and doc
+    ids once per sig_key, in later joins."""
     from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
