@@ -73,7 +73,15 @@ class CrawlConfig:
     # (Cho, Garcia-Molina & Page, WWW 1998; ops/graph.pagerank is the full
     # offline signal). The boost < 1 so depth levels never interleave, and
     # it is a pure function of the round's candidate multiset, so the
-    # sequential oracle reproduces the exact total order.
+    # sequential oracle reproduces the exact total order. "pagerank" ranks
+    # each round's candidates by exact fixed-point-integer PageRank
+    # (ops/graph.pagerank) over the edge graph ACCUMULATED so far — the
+    # full authority-ordered crawl of Cho/Garcia-Molina/Page wired into the
+    # loop; the integer ranks are bit-deterministic, so the sequential
+    # oracle mirrors the exact total order here too. Costs a fixed
+    # O(pagerank_iterations) extra jobs per round plus one scan of the
+    # edges table so far.
     priority_mode: str = "bfs"
     indegree_cap: int = 99
+    pagerank_iterations: int = 4
     extra_spark_conf: dict = field(default_factory=dict)

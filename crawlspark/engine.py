@@ -717,6 +717,48 @@ class CrawlEngine:
                 / F.lit(float(cfg.indegree_cap + 1))
             )
             cand = cand.withColumn("priority", F.col("priority") - boost)
+        elif cfg.priority_mode == "pagerank":
+            # P1 "pagerank": rank this round's candidates by exact
+            # fixed-point-integer PageRank (ops/graph) over the edge graph
+            # accumulated so far — edges rounds <= rnd; this round's edges
+            # were just written above, so the ranking sees them. The ranks
+            # are bit-deterministic (integer sums are associative-exact),
+            # so the sequential oracle replays the identical boost; the
+            # float discipline matches "indegree": one long→double cast,
+            # one division by 10^12 (exactly representable), one
+            # subtraction. boost < 1 by construction (a single node's
+            # scaled rank is < SCALE), so depth levels never interleave.
+            # Cost is fixed per round: one scan of the edges-so-far table
+            # + O(pagerank_iterations) jobs (test_pagerank_priority_jobs_
+            # are_flat) — the per-round rendering of authority-ordered
+            # crawling (Cho, Garcia-Molina & Page, WWW 1998 [pub]).
+            from crawlspark.ops.graph import SCALE, pagerank
+
+            g = self.storage.read_table("edges", upto_round=rnd).select(
+                F.col("src_hash").alias("src"), F.col("dst_hash").alias("dst")
+            )
+            nodes = (
+                g.select(F.col("src").alias("node"))
+                .unionByName(g.select(F.col("dst").alias("node")))
+                .distinct()
+            )
+            ranks = pagerank(g, nodes, iterations=cfg.pagerank_iterations)
+            boost = (
+                F.least(
+                    F.coalesce(F.col("pagerank_scaled"), F.lit(0).cast("long")),
+                    F.lit(SCALE - 1).cast("long"),
+                ).cast("double")
+                / F.lit(float(SCALE))
+            )
+            cand = (
+                cand.join(
+                    ranks.withColumnRenamed("node", "url_hash"),
+                    "url_hash",
+                    "left",
+                )
+                .withColumn("priority", F.col("priority") - boost)
+                .drop("pagerank_scaled")
+            )
         # A1 intra-round first-wins dedup
         wdup = Window.partitionBy("url_hash").orderBy(*DISCOVERY_ORDER)
         cand = (

@@ -28,6 +28,43 @@ from crawlspark.functions.canon import canonicalize_url, host_of
 from crawlspark.functions.robots import allowed, path_of
 from crawlspark.sources.synthweb import page, robots_table
 
+# Mirrors crawlspark.ops.graph.SCALE (kept literal here: no Spark imports in
+# this module, and the value is part of the priority contract).
+PAGERANK_SCALE = 10**12
+
+
+def _pagerank_int(
+    edges: set[tuple[str, str]],
+    iterations: int,
+    scale: int = PAGERANK_SCALE,
+    num: int = 85,
+    den: int = 100,
+) -> dict[str, int]:
+    """Pure-python replica of the exact fixed-point-integer PageRank the
+    engine's "pagerank" priority mode runs (ops/graph.pagerank): same
+    floor divisions in the same places, dangling mass leaks identically.
+    Node identity here is the canonical URL; the engine keys by
+    xxhash64(url_canon) — an isomorphic graph, so the integer ranks are
+    equal node-for-node (hash collisions aside, absent at fixture scale)."""
+    nodes: set[str] = set()
+    outdeg: dict[str, int] = {}
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    if n == 0:
+        return {}
+    per_node = scale // n
+    base = ((den - num) * per_node) // den
+    rank = {v: per_node for v in nodes}
+    for _ in range(iterations):
+        mass = dict.fromkeys(nodes, 0)
+        for s, d in edges:
+            mass[d] += rank[s] // outdeg[s]
+        rank = {v: base + (num * mass[v]) // den for v in nodes}
+    return rank
+
 
 @dataclass
 class OracleDoc:
@@ -98,6 +135,11 @@ def crawl(
     injections = injections or {}
     res = OracleResult()
     robots = {r["host"]: r for r in robots_table(cfg)}
+    # accumulated link graph (engine: the `edges` table) — distinct
+    # (src_canon, dst_canon) over every 200-fetch's resolvable links,
+    # INCLUDING links beyond max_depth (the engine writes edges before the
+    # depth filter); feeds the "pagerank" priority mode
+    edges_acc: set[tuple[str, str]] = set()
 
     # --- bootstrap (round 0): canonicalize, first-wins dedup by seed order
     frontier: list[_Entry] = []
@@ -189,6 +231,7 @@ def crawl(
                 child = canonicalize_url(urljoin(e.url_canon, href))
                 if child is None:
                     continue
+                edges_acc.add((e.url_canon, child))
                 depth = e.depth + 1
                 if depth > cfg.max_depth:
                     continue
@@ -210,6 +253,15 @@ def crawl(
                     float(min(n_links[c.url_canon], cfg.indegree_cap))
                     / float(cfg.indegree_cap + 1)
                 )
+        # P1 "pagerank" priority: boost = min(rank, SCALE-1)/SCALE over the
+        # integer ranks of the graph accumulated THROUGH this round —
+        # identical IEEE-754 ops to the engine's column expression
+        # (long→double cast, one division, one subtraction).
+        elif cfg.priority_mode == "pagerank":
+            ranks = _pagerank_int(edges_acc, cfg.pagerank_iterations)
+            for c in candidates:
+                r = min(ranks.get(c.url_canon, 0), PAGERANK_SCALE - 1)
+                c.priority = float(c.depth) - (float(r) / float(PAGERANK_SCALE))
 
         # A1 first-wins intra-round dedup + A2 seen filter (exact)
         candidates.sort(key=lambda e: e.order_key)

@@ -133,6 +133,55 @@ def test_indegree_priority_mode_matches_oracle(spark, tmp_path):
         seeds,
     )
     assert bfs.seen == want.seen
+
+
+def test_pagerank_priority_mode_matches_oracle(spark, tmp_path):
+    """P1 "pagerank": the frontier is ranked each round by exact
+    fixed-point-integer PageRank over the edge graph accumulated so far —
+    the full authority-ordered crawl (Cho/Garcia-Molina/Page 1998) wired
+    into the loop. The integer ranks are bit-deterministic, so the engine
+    must reproduce the sequential oracle's exact total order and seen set;
+    and the order must genuinely differ from BOTH strict BFS and the
+    in-round "indegree" mode (else the mode adds nothing)."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    base = dict(
+        max_depth=2, max_rounds=8, web_hosts=6, hot_host="host00.example"
+    )
+    cfg = CrawlConfig(**base, priority_mode="pagerank", shuffle_partitions=4)
+    storage = CrawlStorage(spark, tmp_path / "pr")
+    seeds = synthweb.seed_list(cfg, n=20)
+    summary = CrawlEngine(spark, cfg, storage).run(seeds)
+    want = oracle_crawler.crawl(cfg, seeds)
+
+    engine_seen = {
+        r["url_canon"]
+        for r in storage.read_table("seen").select("url_canon").collect()
+    }
+    assert engine_seen == want.seen
+    assert summary["rounds"] == want.rounds
+
+    rows = (
+        storage.read_table("documents")
+        .select("round", "fetch_time", "host", "host_rank", "doc_id")
+        .orderBy("round", "fetch_time", "host", "host_rank")
+        .collect()
+    )
+    engine_order = [(r["round"], r["doc_id"]) for r in rows]
+    assert engine_order == want.crawl_order
+
+    # the mode is live: pagerank order diverges from BFS and from indegree
+    # on the same web (seen SET equal — priority reorders, never drops)
+    bfs = oracle_crawler.crawl(CrawlConfig(**base), seeds)
+    ind = oracle_crawler.crawl(
+        CrawlConfig(**base, priority_mode="indegree"), seeds
+    )
+    assert want.crawl_order != bfs.crawl_order
+    assert want.crawl_order != ind.crawl_order
+    assert want.seen == bfs.seen == ind.seen
     assert bfs.crawl_order != want.crawl_order
 
 

@@ -241,6 +241,39 @@ def test_round_driver_job_count_is_flat_and_bounded(spark, tmp_path):
     assert n1 - n0 <= 14, f"round launched {n1-n0} driver jobs (budget 14)"
 
 
+def test_pagerank_priority_jobs_are_flat(spark, tmp_path):
+    """priority_mode="pagerank" re-ranks the frontier each round from the
+    accumulated edge graph — that must cost a FIXED number of extra jobs
+    per round, never a count that grows with the round number or the graph
+    so far. Measured: 25/round steady state = bfs's 13 + 12 for the ranking
+    (nodes count, eager localCheckpoints for the node base and each of the
+    default 4 power iterations, and their materialization jobs); round 1
+    pays a one-time +1 (first edges-table listing + ed-persist
+    materialization), so flatness is asserted from round 2."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    cfg = CrawlConfig(max_depth=3, max_rounds=4, web_hosts=6,
+                      shuffle_partitions=4, priority_mode="pagerank")
+    eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path))
+    eng.bootstrap(synthweb.seed_list(cfg, n=20))
+    store = spark.sparkContext._jsc.sc().statusStore()
+
+    def n_jobs() -> int:
+        return store.jobsList(None).size()
+
+    eng.run_round(1)  # one-time costs (first listing, persist materialize)
+    n1 = n_jobs()
+    eng.run_round(2)
+    n2 = n_jobs()
+    eng.run_round(3)
+    n3 = n_jobs()
+    assert n2 - n1 == n3 - n2, f"per-round job count not flat: {n2-n1} vs {n3-n2}"
+    assert n2 - n1 <= 26, f"round launched {n2-n1} driver jobs (budget 26)"
+
+
 def test_indegree_count_window_shares_dedup_exchange(spark):
     """engine.run_round's "indegree" boost claims the count-over-url_hash
     window rides the dedup window's exchange (same partitioning -> Catalyst
