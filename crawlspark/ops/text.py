@@ -96,27 +96,51 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id_udf():
     """Language ID: argmax over per-language function-word hit ratios.
-    Vectorized: one pandas str.split per batch, set-intersection per row."""
+
+    Vectorized per Arrow batch: the batch's tokens explode into ONE flat
+    word array, pd.factorize hashes it to integer codes in a single C pass,
+    profile membership is decided once per UNIQUE token (vocabulary, not
+    corpus, sized), and per-row hit counts come from bincount over the
+    code-indexed membership table. The argmax over the (rows × languages)
+    score matrix replays the scalar loop's semantics exactly — np.argmax
+    returns the FIRST maximum, which is the profile iteration order, and
+    `und` wins when every score is 0 (empty/None text included). Scores
+    are the same int/int → float64 division the per-row loop performed, so
+    predictions are bit-identical."""
+    import numpy as np
+
+    langs = list(_LANG_PROFILES)
+    prof_sets = [_LANG_PROFILES[lang] for lang in langs]
 
     @F.pandas_udf("string")
     def _lang(texts: pd.Series) -> pd.Series:
-        profiles = list(_LANG_PROFILES.items())
-
-        def score(t: str | None) -> str:
-            if not t:
-                return "und"
-            words = t.split()
-            if not words:
-                return "und"
-            n = len(words)
-            best_lang, best = "und", 0.0
-            for lang, prof in profiles:
-                s = sum(1 for w in words if w in prof) / n
-                if s > best:
-                    best_lang, best = lang, s
-            return best_lang
-
-        return texts.map(score)
+        n = len(texts)
+        if n == 0:
+            return pd.Series([], dtype="object")
+        word_lists = [t.split() if t else [] for t in texts]
+        lens = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=n)
+        flat = [w for ws in word_lists for w in ws]
+        if not flat:
+            return pd.Series(["und"] * n, dtype="object")
+        codes, uniques = pd.factorize(np.array(flat, dtype="object"))
+        memb = np.zeros((len(uniques), len(langs)), dtype=bool)
+        for j, prof in enumerate(prof_sets):
+            memb[:, j] = [u in prof for u in uniques]
+        row_ids = np.repeat(np.arange(n), lens)
+        hits = memb[codes]
+        counts = np.zeros((n, len(langs)), dtype=np.int64)
+        for j in range(len(langs)):
+            m = hits[:, j]
+            if m.any():
+                counts[:, j] = np.bincount(row_ids[m], minlength=n)
+        safe_lens = np.where(lens > 0, lens, 1)
+        scores = counts / safe_lens[:, None]
+        best = scores.max(axis=1)
+        idx = scores.argmax(axis=1)
+        out = np.where(
+            best > 0.0, np.array(langs, dtype="object")[idx], "und"
+        )
+        return pd.Series(out)
 
     return _lang
 

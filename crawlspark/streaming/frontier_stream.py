@@ -79,27 +79,35 @@ def _gate_fn(delay_seconds: float):
     ) -> Iterator[pd.DataFrame]:
         (host,) = key
         last = state.get[0] if state.exists else float("-inf")
-        out: list[dict[str, Any]] = []
+        # The per-host admission scan is inherently sequential (each
+        # decision depends on the previous admitted time), but it runs over
+        # plain python lists pulled out of the frame once — iterrows would
+        # build a Series per row (~10x the per-row cost) for the same loop.
+        urls: list[Any] = []
+        stamps: list[Any] = []
+        admitted: list[bool] = []
+        gate_times: list[Any] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "url_canon"])
-            for _, row in pdf.iterrows():
-                t = row["ts"].timestamp()
+            for ts_val, url in zip(pdf["ts"].tolist(), pdf["url_canon"].tolist()):
+                t = ts_val.timestamp()
                 ok = t >= last + delay_seconds
                 if ok:
                     last = t
-                out.append(
-                    {
-                        "host": host,
-                        "url_canon": row["url_canon"],
-                        "ts": row["ts"],
-                        "admitted": ok,
-                        "gate_time": pd.Timestamp(
-                            (last if ok else t), unit="s"
-                        ),
-                    }
-                )
+                urls.append(url)
+                stamps.append(ts_val)
+                admitted.append(ok)
+                gate_times.append(pd.Timestamp((last if ok else t), unit="s"))
         state.update((last,))
-        yield pd.DataFrame(out)
+        yield pd.DataFrame(
+            {
+                "host": host,
+                "url_canon": urls,
+                "ts": stamps,
+                "admitted": admitted,
+                "gate_time": gate_times,
+            }
+        )
 
     return gate
 
