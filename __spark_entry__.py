@@ -371,10 +371,17 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def q_token_count(spark, sf_dir):
-    from crawlspark.ops.text import with_tokens
+def q_token_counts(spark, sf_dir):
+    """Whitespace AND BPE-ish token counts in one oracle-checked query
+    (merged in round 4 from the former token_count + bpe_token_count
+    entries to free a registry slot inside the driver's 50-row window; the
+    BPE-ish oracle runs the identical regex pattern through DuckDB's
+    RE2)."""
+    from crawlspark.ops.text import with_bpe_tokens, with_tokens
 
-    return with_tokens(_t(spark, sf_dir, "documents")).select("doc_id", "n_tokens")
+    return with_bpe_tokens(with_tokens(_t(spark, sf_dir, "documents"))).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
 
 
 def q_quality_score(spark, sf_dir):
@@ -744,14 +751,19 @@ def q_curation_audit(spark, sf_dir):
 
 
 
-def q_bpe_token_count(spark, sf_dir):
-    """BPE-ish regex tokenization (ops/text.with_bpe_tokens — pure JVM
-    regexp_extract_all) counted per doc; the oracle runs the identical
-    pattern through DuckDB's RE2."""
-    from crawlspark.ops.text import with_bpe_tokens
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ops/pipeline.decontaminate): flag docs
+    sharing any word 8-gram with a deterministic "benchmark" subset
+    (doc_id % 97 == 0 stands in for an eval suite). The Spark side joins
+    on xxhash64(gram) — key-only shuffle, broadcast benchmark side — and
+    the oracle joins on the gram STRINGS, so a flag mismatch would expose
+    either a hash-plumbing or an n-gram-construction bug."""
+    from crawlspark.ops.pipeline import decontaminate
 
-    return with_bpe_tokens(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_bpe_tokens"
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=8).select(
+        "doc_id", "contaminated", "n_grams"
     )
 
 
@@ -954,8 +966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_1h": q_events_running_1h,
         "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_token_count,
+        "token_counts": q_token_counts,
+        "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
         "repetition_ratio": q_repetition_ratio,
@@ -1111,13 +1123,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,"
             " COUNT(*) AS dup_count FROM documents GROUP BY md5(text)"
         ),
-        "token_count": (
-            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
-        ),
-        "bpe_token_count": (
-            "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+        "token_counts": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,"
+            " CAST(len(regexp_extract_all(text,"
             " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT)"
             " AS n_bpe_tokens FROM documents"
+        ),
+        "decontaminate": (
+            # independent n-gram construction: DuckDB list slicing over the
+            # split words, joined on gram STRINGS (the Spark side joins on
+            # xxhash64 of the same grams)
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w"
+            " FROM documents),"
+            " dg AS (SELECT doc_id,"
+            "  unnest(list_transform(range(1, len(w) - 6),"
+            "   i -> array_to_string(w[i:i+7], ' '))) AS gram"
+            "  FROM tok WHERE len(w) >= 8),"
+            " bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),"
+            " bad AS (SELECT DISTINCT dg.doc_id FROM dg"
+            "  JOIN bg ON dg.gram = bg.gram)"
+            " SELECT d.doc_id, (bad.doc_id IS NOT NULL) AS contaminated,"
+            " CAST(greatest(len(string_split(d.text, ' ')) - 7, 0) AS INT)"
+            " AS n_grams"
+            " FROM documents d LEFT JOIN bad ON d.doc_id = bad.doc_id"
         ),
         "hash_split": (
             "WITH b AS (SELECT doc_id,"

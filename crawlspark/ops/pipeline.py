@@ -121,6 +121,67 @@ def quota_sample(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share any
+    word ``n``-gram with an evaluation/benchmark set (the train-test
+    overlap filter of public LLM curation pipelines: GPT-3 appendix C /
+    Gopher-style 13-gram decontamination [pub]).
+
+    Plan shape (the part that matters at 10^10 docs): both sides explode to
+    ``(id, xxhash64(n-gram))`` — the join ships 16 bytes per gram, never
+    text — the benchmark side is DISTINCT gram hashes (a benchmark suite is
+    tiny next to a crawl, so Catalyst broadcasts it), and the doc side
+    LEFT SEMI joins then dedups to contaminated ids; no row ever carries
+    more than one gram. Returns every input doc with a ``contaminated``
+    flag plus ``n_grams`` for auditability. Docs shorter than ``n`` words
+    have no n-gram and are never contaminated.
+
+    Hash note: flagging via xxhash64(gram) admits a false positive only on
+    a 64-bit collision; a decontamination pass PREFERS that direction
+    (dropping one extra doc is free, leaking one benchmark doc is not).
+    """
+    gram_expr = (
+        f"transform(sequence(0, size(tokens)-{n}), "
+        f"i -> xxhash64(concat_ws(' ', slice(tokens, i+1, {n}))))"
+    )
+
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias(out_id), F.split(F.col(text_col), " ").alias("tokens")
+        ).filter(F.size("tokens") >= n)
+        return toks.select(
+            out_id, F.explode(F.expr(gram_expr)).alias("gram_hash")
+        )
+
+    bench_grams = grams(benchmark, "bench_id").select("gram_hash").distinct()
+    contaminated = (
+        grams(docs, "doc_id_c")
+        .join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .select(F.col("doc_id_c"))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.join(
+            contaminated, docs[id_col] == contaminated["doc_id_c"], "left"
+        )
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
+        .withColumn(
+            "n_grams",
+            F.greatest(
+                F.size(F.split(F.col(text_col), " ")) - F.lit(n - 1), F.lit(0)
+            ),
+        )
+        .drop("doc_id_c")
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

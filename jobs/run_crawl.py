@@ -37,10 +37,11 @@ def main() -> None:
     )
     ap.add_argument(
         "--priority-mode",
-        choices=["bfs", "indegree"],
+        choices=["bfs", "indegree", "pagerank"],
         default="bfs",
-        help="P1 policy: strict BFS, or in-degree boosted within a depth "
-        "level (see CrawlConfig.priority_mode)",
+        help="P1 policy: strict BFS, in-degree boosted within a depth "
+        "level, or exact fixed-point PageRank over the accumulated link "
+        "graph (see CrawlConfig.priority_mode)",
     )
     ap.add_argument(
         "--iceberg-catalog",

@@ -58,7 +58,8 @@ def run_demo(cores: int, skew: bool, maintenance: bool = False) -> dict:
 
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    tag = "maint" if maintenance else ("skew" if skew else "bal")
+    tag = ("skewmaint" if skew else "maint") if maintenance else (
+        "skew" if skew else "bal")
     root = tempfile.mkdtemp(prefix=f"scale-demo-{tag}-")
     try:
         cfg = CrawlConfig(
@@ -129,35 +130,46 @@ def main() -> None:
     ap.add_argument(
         "--maintenance",
         action="store_true",
-        help="also run the balanced crawl with seen compaction + frontier "
-        "expiry on and assert per-round results are bit-identical",
+        help="also run the balanced AND skewed crawls with seen compaction "
+        "+ frontier expiry on and assert per-round results are "
+        "bit-identical to their plain twins (compaction exercised under "
+        "hot-host file skew too)",
     )
     args = ap.parse_args()
+
+    def check_maintenance_twin(name: str, results: dict) -> None:
+        plain, maint = results[name], results[f"{name}_maintenance"]
+        same = (
+            maint["per_round"] == plain["per_round"]
+            and maint["seen"] == plain["seen"]
+        )
+        results[f"{name}_maintenance_bit_identical"] = same
+        print(
+            f"\n{name} maintenance run bit-identical: {same}; "
+            f"seen parquet files {plain['seen_parquet_files']}"
+            f" -> {maint['seen_parquet_files']}, frontier "
+            f"snapshot dirs {plain['frontier_snapshot_dirs']}"
+            f" -> {maint['frontier_snapshot_dirs']}"
+        )
+        if not same:
+            print(f"MAINTENANCE REGRESSION ({name}): results differ from plain run")
+            sys.exit(1)
 
     results = {}
     if not args.skew_only:
         results["balanced"] = run_demo(args.cores, skew=False)
-    if args.maintenance:
-        results["maintenance"] = run_demo(args.cores, skew=False, maintenance=True)
-        if "balanced" in results:
-            same = (
-                results["maintenance"]["per_round"]
-                == results["balanced"]["per_round"]
-                and results["maintenance"]["seen"] == results["balanced"]["seen"]
+        if args.maintenance:
+            results["balanced_maintenance"] = run_demo(
+                args.cores, skew=False, maintenance=True
             )
-            results["maintenance_bit_identical"] = same
-            print(
-                f"\nmaintenance run bit-identical to balanced: {same}; "
-                f"seen parquet files {results['balanced']['seen_parquet_files']}"
-                f" -> {results['maintenance']['seen_parquet_files']}, frontier "
-                f"snapshot dirs {results['balanced']['frontier_snapshot_dirs']}"
-                f" -> {results['maintenance']['frontier_snapshot_dirs']}"
-            )
-            if not same:
-                print("MAINTENANCE REGRESSION: results differ from plain run")
-                sys.exit(1)
+            check_maintenance_twin("balanced", results)
     if not args.balanced_only:
         results["skew"] = run_demo(args.cores, skew=True)
+        if args.maintenance:
+            results["skew_maintenance"] = run_demo(
+                args.cores, skew=True, maintenance=True
+            )
+            check_maintenance_twin("skew", results)
     if "balanced" in results and "skew" in results:
         # The hot-host web is a different (smaller, duplicate-heavy) graph —
         # routing half of all links to one host collapses the distinct-URL

@@ -516,6 +516,35 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 0.04 < frac50["test"] / 2000 < 0.16
 
 
+def test_decontaminate_flags_planted_overlap(spark):
+    """Benchmark decontamination: a doc sharing one 8-gram with the
+    benchmark set is flagged; docs with no shared 8-gram (even with 7-word
+    overlaps) and docs shorter than 8 words are not."""
+    from crawlspark.ops.pipeline import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seven = "alpha beta gamma delta epsilon zeta eta"  # 7-gram only
+    rows = [
+        (0, bench_text),                               # the benchmark doc itself
+        # copies exactly the benchmark's first 8-gram (alpha..theta)
+        (1, "intro words then alpha beta gamma delta epsilon zeta eta theta"),
+        (2, seven + " DIFFERENT tail words here now"), # 7-word overlap: clean
+        (3, "entirely unrelated text with many many words to spare ok"),
+        (4, "short doc"),                              # < 8 words: no grams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    got = {
+        r["doc_id"]: (r["contaminated"], r["n_grams"])
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+    assert got[0][0] is True          # benchmark doc matches itself
+    assert got[1] == (True, got[1][1]) and got[1][0] is True
+    assert got[2][0] is False
+    assert got[3][0] is False
+    assert got[4] == (False, 0)
+
+
 def test_scrub_pii_masks_and_counts(spark):
     from crawlspark.ops.text import scrub_pii
 
