@@ -70,7 +70,8 @@ def bench_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         "metrics_rollup",
         "sessionize",
         "dedup_exact",
-        "token_count",
+        "token_counts",
+        "decontaminate",
         "quality_score",
         "fingerprint",
         "ann_topk",

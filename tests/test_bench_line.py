@@ -77,3 +77,22 @@ def test_compact_line_minimal_result():
     )
     assert d["value"] == 33.4
     assert d["skipped_parts"] == ["bigcrawl", "crawl"]
+
+
+def test_bench_query_names_exist_in_registry():
+    """Every query name bench.py times must exist in the __spark_entry__
+    registry — a rename/merge there (round 4 merged token_count +
+    bpe_token_count into token_counts) must fail HERE, not as a KeyError
+    halfway through a recorded bench run."""
+    import inspect
+
+    import __spark_entry__ as em
+
+    src = inspect.getsource(bench.bench_queries)
+    registered = set(em.queries())
+    # the names list is the literal between 'names = [' and the closing ']'
+    block = src.split("names = [", 1)[1].split("]", 1)[0]
+    names = [ln.strip().strip('",') for ln in block.splitlines() if '"' in ln]
+    assert names, "failed to parse the bench names list"
+    missing = [n for n in names if n not in registered]
+    assert not missing, f"bench times unregistered queries: {missing}"

@@ -225,12 +225,13 @@ def test_round_driver_job_count_is_flat_and_bounded(spark, tmp_path):
     eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path))
     eng.bootstrap(synthweb.seed_list(cfg, n=20))
 
-    # AppStatusStore sees jobs from ALL threads (the tail sinks run in a
-    # thread pool, so thread-local job groups undercount them)
-    store = spark.sparkContext._jsc.sc().statusStore()
-
+    # The DAGScheduler's job-id counter sees jobs from ALL threads (the
+    # tail sinks run in a thread pool, so thread-local job groups would
+    # undercount) and, unlike statusStore.jobsList (bounded by
+    # spark.ui.retainedJobs — EVICTS old jobs late in a long shared-session
+    # suite, silently shrinking deltas), it is monotone forever.
     def n_jobs() -> int:
-        return store.jobsList(None).size()
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
     n0 = n_jobs()
     eng.run_round(1)
@@ -259,10 +260,12 @@ def test_pagerank_priority_jobs_are_flat(spark, tmp_path):
                       shuffle_partitions=4, priority_mode="pagerank")
     eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path))
     eng.bootstrap(synthweb.seed_list(cfg, n=20))
-    store = spark.sparkContext._jsc.sc().statusStore()
 
+    # monotone DAGScheduler counter, not statusStore.jobsList — the latter
+    # is capped by spark.ui.retainedJobs and evicts old jobs late in a long
+    # shared-session suite, which distorts the deltas this test compares
     def n_jobs() -> int:
-        return store.jobsList(None).size()
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
 
     eng.run_round(1)  # one-time costs (first listing, persist materialize)
     n1 = n_jobs()
@@ -272,6 +275,28 @@ def test_pagerank_priority_jobs_are_flat(spark, tmp_path):
     n3 = n_jobs()
     assert n2 - n1 == n3 - n2, f"per-round job count not flat: {n2-n1} vs {n3-n2}"
     assert n2 - n1 <= 26, f"round launched {n2-n1} driver jobs (budget 26)"
+
+
+def test_decontaminate_broadcasts_bench_grams(spark):
+    """ops/pipeline.decontaminate's contamination join must be a BROADCAST
+    left-semi on gram_hash (the benchmark side is tiny next to a crawl) and
+    no exchange feeding it may carry the text column — the join ships 16
+    bytes per gram, never documents."""
+    from crawlspark.ops.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    sections = plan.split("\n\n")
+    gram_exchanges = [
+        s for s in sections
+        if s.lstrip().startswith("(")
+        and "Exchange" in s.splitlines()[0]
+        and "gram_hash" in s
+    ]
+    for s in gram_exchanges:
+        assert "text" not in s, "gram shuffle carries document text:\n" + s
 
 
 def test_indegree_count_window_shares_dedup_exchange(spark):
