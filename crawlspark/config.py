@@ -84,4 +84,12 @@ class CrawlConfig:
     priority_mode: str = "bfs"
     indegree_cap: int = 99
     pagerank_iterations: int = 4
+    # Scaling-calibration knob (jobs/compute_scaling.py): extra deterministic
+    # hash evaluations per fetched URL inside the distributed fetch stage —
+    # models real fetch/parse CPU cost (HTML parsing, tokenization) WITHOUT
+    # changing any output (spans, links, and every downstream table are
+    # byte-identical at any value). Raising it grows the crawl's parallel
+    # fraction, which is how the N-vs-4N efficiency criterion is separated
+    # from this VM's fixed-cost floor. 0 = off (production default).
+    fetch_cpu_work: int = 0
     extra_spark_conf: dict = field(default_factory=dict)

@@ -60,6 +60,11 @@ def page(url_canon: str, cfg: CrawlConfig) -> tuple[int, list[dict], list[str]]:
                some with canonicalization traps (uppercase host, fragments,
                unsorted query) so the canonicalizer is load-bearing.
     """
+    # scaling-calibration burn (CrawlConfig.fetch_cpu_work): deterministic
+    # extra hashing per URL — same cost for every URL, zero output effect
+    for j in range(cfg.fetch_cpu_work):
+        stable_hash(url_canon, cfg.seed + j + 1)
+
     h = stable_hash(url_canon, cfg.seed)
     if h % 50 == 0:
         return 404, [], []

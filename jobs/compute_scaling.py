@@ -1,0 +1,211 @@
+"""Scaling-vs-parallel-fraction probe: the N→4N efficiency criterion
+separated from this VM's fixed-cost floor.
+
+The contract asks for ≥0.8 throughput scaling from N to 4N executors.
+BASELINE.md documents why this box cannot print that number on the
+standard fixture: the big-round crawl carries ~25-30 s of width-invariant
+cost (driver barriers, JVM scheduling, parquet commits) against only a few
+seconds of distributable python work, and the burst-credit throttle drains
+4x faster at 32-wide. Both effects are properties of the measurement
+environment, not the engine. This probe makes that claim FALSIFIABLE:
+
+    CrawlConfig.fetch_cpu_work adds a deterministic per-URL CPU burn inside
+    the distributed mapInPandas fetch stage — the shape of real fetch/parse
+    cost (HTML parsing, tokenization) — with ZERO output effect (all tables
+    byte-identical at any value; pinned by
+    test_engine_smoke::test_fetch_cpu_work_does_not_change_results).
+
+If the engine's parallel plumbing were the bottleneck, raising the
+per-URL work would NOT raise the 8→32 efficiency (the serial fraction
+would be in the engine, by Amdahl). If instead efficiency climbs toward
+the same-slot mp.Pool silicon ceiling as work grows, the fixed-cost floor
+— not the engine — owns the gap at work=0.
+
+Three measurements triangulate, all in one slot:
+1. the same-slot mp.Pool silicon ceiling (pure python, no Spark);
+2. a BARE mapInPandas stage running the identical burn over the same row
+   count — Spark's python-stage scaling with no engine around it;
+3. the full crawl with the burn.
+If (2) tracks (1), Spark's python plumbing scales to the silicon limit; the
+gap between (3) and (2) is then the crawl's width-invariant fixed cost plus
+fetch-partition sizing — both fixture-scale artifacts (at the 10^10 design
+point every round saturates the configured width and fixed cost amortizes).
+`--rows-per-partition` matters for heavy work: the default 2000 was sized
+for LIGHT python tasks (worker-attach cost), which leaves small/mid rounds
+under-partitioned when per-URL work is expensive — the config knob
+(CrawlConfig.fetch_rows_per_partition) exists precisely for this trade.
+
+Usage: python jobs/compute_scaling.py [--work 2000] [--seeds 4000]
+                                      [--rows-per-partition 500]
+Prints one JSON line: per-width best throughput at the given work level,
+efficiency, the bare-stage comparator, the same-slot hardware ceiling, and
+determinism fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+
+def run_bare_stage(cores: int, work: int, n_rows: int) -> float:
+    """The identical per-row burn in a bare mapInPandas stage — Spark's
+    python-stage scaling with no engine around it."""
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def burn(iters):
+        from crawlspark.sources.synthweb import stable_hash
+
+        for pdf in iters:
+            for u in pdf["u"]:
+                for j in range(work):
+                    stable_hash(u, j)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    df = spark.range(n_rows).select(
+        F.concat(F.lit("http://h.example/p"), F.col("id")).alias("u")
+    ).repartition(max(8, cores))
+    df.limit(100).mapInPandas(lambda it: it, "u string").count()  # warm
+    t0 = time.time()
+    df.mapInPandas(burn, "n long").agg({"n": "sum"}).first()
+    t = time.time() - t0
+    spark.stop()
+    return round(t, 2)
+
+
+def run_crawl(cores: int, work: int, seeds_n: int, rows_per_part: int) -> dict:
+    from pyspark.sql import SparkSession
+
+    from bench import _warm_python_workers
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(max(8, cores)))
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix=f"compute-scale-{cores}-w{work}-")
+    try:
+        _warm_python_workers(spark, cores)
+        cfg = CrawlConfig(
+            max_depth=3,
+            max_rounds=8,
+            web_hosts=2000,
+            round_seconds=1e9,
+            shuffle_partitions=max(8, cores),
+            fetch_cpu_work=work,
+            fetch_rows_per_partition=rows_per_part,
+        )
+        engine = CrawlEngine(spark, cfg, CrawlStorage(spark, root))
+        seeds = synthweb.seed_list(cfg, n=seeds_n)
+        t0 = time.time()
+        summary = engine.run(seeds)
+        wall = time.time() - t0
+        fetched = summary["totals"]["fetched"]
+        deduped = sum(m.deduped for m in engine.history)
+        return {
+            "cores": cores,
+            "work": work,
+            "wall_sec": round(wall, 2),
+            "fetched": fetched,
+            "deduped": deduped,
+            "seen": summary["totals"]["seen"],
+            "rounds": summary["rounds"],
+            "throughput_urls_per_sec": round((fetched + deduped) / wall, 1),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", type=int, default=2000,
+                    help="fetch_cpu_work level (~2 us per unit per URL)")
+    ap.add_argument("--seeds", type=int, default=4000)
+    ap.add_argument("--rows-per-partition", type=int, default=500,
+                    help="fetch_rows_per_partition for the heavy-work probe "
+                    "(the light-task default 2000 under-partitions small "
+                    "rounds when per-URL work is expensive)")
+    ap.add_argument("--budget", type=float, default=900.0)
+    args = ap.parse_args()
+
+    from bench import calibrate_hardware
+
+    ceiling = calibrate_hardware()  # same-slot silicon ceiling FIRST
+    bare = {
+        32: run_bare_stage(32, args.work, 150_000),
+        8: run_bare_stage(8, args.work, 150_000),
+    }
+
+    t0 = time.time()
+    runs = []
+    # interleaved wide-first best-of-2, the documented discipline for this
+    # burst-credit VM (bench.py bench_big_crawl)
+    for cores in (32, 8, 8, 32):
+        if len(runs) >= 2 and time.time() - t0 > args.budget:
+            break
+        runs.append(run_crawl(cores, args.work, args.seeds,
+                              args.rows_per_partition))
+    by = lambda c: [r for r in runs if r["cores"] == c]  # noqa: E731
+    best = {
+        c: max(by(c), key=lambda r: r["throughput_urls_per_sec"])
+        for c in (8, 32) if by(c)
+    }
+    out: dict = {
+        "probe": "fetch_cpu_work scaling (parallel-fraction sweep)",
+        "work": args.work,
+        "rows_per_partition": args.rows_per_partition,
+        "hw_ceiling_8_to_32": ceiling["hardware_ceiling_efficiency"],
+        "bare_stage_walls_sec": {"local8": bare[8], "local32": bare[32]},
+        "bare_stage_eff_8_to_32": round(bare[8] / (4 * bare[32]), 3),
+        "local8": best.get(8),
+        "local32": best.get(32),
+        "all_walls_sec": [r["wall_sec"] for r in runs],
+        "run_order_cores": [r["cores"] for r in runs],
+        "rounds_equal": len({r["rounds"] for r in runs}) == 1,
+        "fetched_equal": len({r["fetched"] for r in runs}) == 1,
+        "seen_equal": len({r["seen"] for r in runs}) == 1,
+    }
+    if 8 in best and 32 in best:
+        eff = best[32]["throughput_urls_per_sec"] / (
+            4 * best[8]["throughput_urls_per_sec"]
+        )
+        out["scaling_efficiency_8_to_32"] = round(eff, 3)
+        out["efficiency_vs_hw_ceiling"] = round(
+            eff / ceiling["hardware_ceiling_efficiency"], 3
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,33 @@ def test_empty_and_invalid_seed_lists(spark, tmp_path):
     eng = CrawlEngine(spark, cfg, CrawlStorage(spark, tmp_path / "a"))
     summary = eng.run(["ftp://x.example/a", "not a url", "mailto:a@b", ""])
     assert summary["exhausted"] and summary["totals"].get("fetched", 0) == 0
+
+
+def test_fetch_cpu_work_does_not_change_results(spark, tmp_path):
+    """CrawlConfig.fetch_cpu_work is a pure CPU burn inside the fetch stage
+    (the jobs/compute_scaling.py parallel-fraction knob): every table a
+    crawl produces must be byte-identical with it on or off."""
+    from crawlspark.config import CrawlConfig
+    from crawlspark.engine import CrawlEngine
+    from crawlspark.sources import synthweb
+    from crawlspark.storage import CrawlStorage
+
+    def state(work: int, sub: str):
+        cfg = CrawlConfig(max_depth=2, max_rounds=6, web_hosts=5,
+                          shuffle_partitions=4, fetch_cpu_work=work)
+        store = CrawlStorage(spark, tmp_path / sub)
+        summary = CrawlEngine(spark, cfg, store).run(
+            synthweb.seed_list(cfg, n=15)
+        )
+        seen = sorted(
+            (r["url_hash"], r["url_canon"], r["round"])
+            for r in store.read_table("seen").collect()
+        )
+        docs = sorted(
+            (r["round"], r["fetch_time"], r["host"], r["host_rank"],
+             str(r["spans"]))
+            for r in store.read_table("documents").collect()
+        )
+        return summary["totals"], summary["rounds"], seen, docs
+
+    assert state(0, "off") == state(50, "on")
