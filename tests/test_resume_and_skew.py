@@ -133,6 +133,36 @@ def test_hot_domain_skew_equality(spark, tmp_path):
     assert counts.get("host00.example", 0) >= 0.3 * sum(counts.values())
 
 
+def test_pagerank_mode_partitioning_invariance(spark, tmp_path):
+    """The "pagerank" priority ranks with exact fixed-point-integer math,
+    which the module docstring claims is bit-identical across
+    partitionings — pin it IN THE LOOP: the same pagerank-mode crawl at
+    shuffle width 4 and an awkward prime width 13 must produce
+    byte-identical seen and documents tables (order, clock, spans)."""
+
+    def state(width: int, sub: str):
+        cfg = CrawlConfig(
+            max_depth=2, max_rounds=8, web_hosts=6,
+            hot_host="host00.example", priority_mode="pagerank",
+            shuffle_partitions=width,
+        )
+        seeds = synthweb.seed_list(cfg, n=20)
+        store = CrawlStorage(spark, tmp_path / sub)
+        summary = CrawlEngine(spark, cfg, store).run(seeds)
+        seen = sorted(
+            (r["url_hash"], r["url_canon"], r["round"])
+            for r in store.read_table("seen").collect()
+        )
+        docs = sorted(
+            (r["round"], r["fetch_time"], r["host"], r["host_rank"],
+             r["doc_id"], str(r["spans"]))
+            for r in store.read_table("documents").collect()
+        )
+        return summary["totals"], summary["rounds"], seen, docs
+
+    assert state(4, "w4") == state(13, "w13")
+
+
 def test_deletable_ban_equality(spark, tmp_path):
     """A4 cuckoo path: host banned until unban_round, then crawled; engine
     must match the oracle on ordering, seen set and rounds."""
