@@ -98,16 +98,10 @@ _URL_EXPR = (
 
 
 def q_url_canonicalize(spark, sf_dir):
-    from crawlspark.functions.canon import canonicalize_udf
-
-    return (
-        _t(spark, sf_dir, "documents")
-        .withColumn("url", F.expr(_URL_EXPR))
-        .select("doc_id", canonicalize_udf()(F.col("url")).alias("url_canon"))
-    )
-
-
-def q_url_host_extract(spark, sf_dir):
+    """C1-C11 canonicalization + C10 host extraction in one oracle-checked
+    query (merged from the former url_canonicalize + url_host_extract
+    entries in round 4 to free a registry slot inside the driver's 50-row
+    window)."""
     from crawlspark.functions.canon import canonicalize_udf
 
     return (
@@ -115,7 +109,9 @@ def q_url_host_extract(spark, sf_dir):
         .withColumn("url", F.expr(_URL_EXPR))
         .withColumn("url_canon", canonicalize_udf()(F.col("url")))
         .select(
-            "doc_id", F.parse_url("url_canon", F.lit("HOST")).alias("host")
+            "doc_id",
+            "url_canon",
+            F.parse_url("url_canon", F.lit("HOST")).alias("host"),
         )
     )
 
@@ -384,11 +380,50 @@ def q_token_counts(spark, sf_dir):
     )
 
 
-def q_quality_score(spark, sf_dir):
-    from crawlspark.ops.text import quality_features
+def q_text_quality(spark, sf_dir):
+    """Quality features + within-doc repetition signal in one oracle-checked
+    query (merged from the former quality_score + repetition_ratio entries
+    in round 4 to free a registry slot)."""
+    from crawlspark.ops.text import quality_features, with_repetition
 
-    return quality_features(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "text_len", "n_tokens", "n_stop", "stop_ratio"
+    return with_repetition(quality_features(_t(spark, sf_dir, "documents"))).select(
+        "doc_id", "text_len", "n_tokens", "n_stop", "stop_ratio",
+        "n_bigrams", "n_distinct_bigrams", "rep_ratio",
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based corpus mixing (ops/pipeline.temperature_mix,
+    α=0.5): per-group targets floor(total·isqrt(n_g)/Σisqrt(n)) — integer
+    math end to end, so DuckDB reproduces the exact selection."""
+    from crawlspark.ops.pipeline import temperature_mix
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), group_col="lang", total=200
+    ).select("doc_id", "lang", "mix_rank", "target")
+
+
+def q_cluster_keep_best(spark, sf_dir):
+    """Quality-policy canonicalization over iterative CC clusters
+    (ops/pipeline.cluster_keep_best): the chain-structured pair graph of
+    near_dup_clusters (closed-form fixpoint v - v%10) joined with a
+    token-count quality signal; keep = argmax(n_tokens, ties → min id)."""
+    from crawlspark.ops.pipeline import cluster_keep_best
+    from crawlspark.ops.text import with_tokens
+
+    docs = with_tokens(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+    pairs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 <= 2)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    return cluster_keep_best(docs, pairs, quality_col="n_tokens").select(
+        "doc_id", "cluster_rep", "keep_rank", "kept"
     )
 
 
@@ -817,17 +852,6 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
-def q_repetition_ratio(spark, sf_dir):
-    """Duplicate-bigram fraction (ops/text.with_repetition) — the
-    within-doc repetition quality signal; higher-order array functions
-    (transform over token indexes) vs DuckDB list_transform."""
-    from crawlspark.ops.text import with_repetition
-
-    return with_repetition(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_bigrams", "n_distinct_bigrams", "rep_ratio"
-    )
-
-
 def q_quota_sample(spark, sf_dir):
     """Deterministic per-group downsampling (ops/pipeline.quota_sample) —
     training-data mixing by per-language quota. Rank = (md5(id), id), the
@@ -948,7 +972,6 @@ def _pagerank_oracle(iterations: int = 8) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "url_canonicalize": q_url_canonicalize,
-        "url_host_extract": q_url_host_extract,
         "dedup_first_wins": q_dedup_first_wins,
         "seen_anti_join": q_seen_anti_join,
         "perhost_topk": q_perhost_topk,
@@ -970,8 +993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "pii_scrub": q_pii_scrub,
-        "repetition_ratio": q_repetition_ratio,
-        "quality_score": q_quality_score,
+        "text_quality": q_text_quality,
+        "temperature_mix": q_temperature_mix,
+        "cluster_keep_best": q_cluster_keep_best,
         "fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_topk": q_ann_topk,
@@ -1013,10 +1037,10 @@ _STOPS = (
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "url_canonicalize": f"SELECT doc_id, {_DUCK_URL} AS url_canon FROM documents",
-        "url_host_extract": (
-            "SELECT doc_id, 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host "
-            "FROM documents"
+        "url_canonicalize": (
+            f"SELECT doc_id, {_DUCK_URL} AS url_canon,"
+            " 'host' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host"
+            " FROM documents"
         ),
         "dedup_first_wins": (
             "SELECT user_id, first_event_id FROM ("
@@ -1171,26 +1195,55 @@ def oracle_sql() -> dict[str, str]:
             "  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed"
             " FROM aug"
         ),
-        "repetition_ratio": (
+        "text_quality": (
             "WITH g AS (SELECT doc_id, list_transform("
             " range(1, len(string_split(text, ' '))),"
             " i -> string_split(text, ' ')[i] || ' ' ||"
             "  string_split(text, ' ')[i+1]) AS bg FROM documents)"
-            " SELECT doc_id, CAST(len(bg) AS INT) AS n_bigrams,"
-            " CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,"
-            " CASE WHEN len(bg) > 0 THEN CAST(1.0 AS DOUBLE)"
-            "  - CAST(len(list_distinct(bg)) AS DOUBLE)"
-            "  / CAST(len(bg) AS DOUBLE)"
+            " SELECT d.doc_id, length(d.text) AS text_len,"
+            " len(string_split(d.text, ' ')) AS n_tokens,"
+            f" len(list_filter(string_split(d.text, ' '), w -> w IN ({_STOPS}))) AS n_stop,"
+            f" CAST(len(list_filter(string_split(d.text, ' '), w -> w IN ({_STOPS}))) AS DOUBLE)"
+            "  / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS stop_ratio,"
+            " CAST(len(g.bg) AS INT) AS n_bigrams,"
+            " CAST(len(list_distinct(g.bg)) AS INT) AS n_distinct_bigrams,"
+            " CASE WHEN len(g.bg) > 0 THEN CAST(1.0 AS DOUBLE)"
+            "  - CAST(len(list_distinct(g.bg)) AS DOUBLE)"
+            "  / CAST(len(g.bg) AS DOUBLE)"
             "  ELSE CAST(0.0 AS DOUBLE) END AS rep_ratio"
-            " FROM g"
+            " FROM documents d JOIN g ON d.doc_id = g.doc_id"
         ),
-        "quality_score": (
-            "SELECT doc_id, length(text) AS text_len,"
-            " len(string_split(text, ' ')) AS n_tokens,"
-            f" len(list_filter(string_split(text, ' '), w -> w IN ({_STOPS}))) AS n_stop,"
-            f" CAST(len(list_filter(string_split(text, ' '), w -> w IN ({_STOPS}))) AS DOUBLE)"
-            "  / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio"
-            " FROM documents"
+        "temperature_mix": (
+            # identical integer math: isqrt weights, integer floor division
+            # (DuckDB SUM -> HUGEINT, so cast back to BIGINT before div)
+            "WITH sizes AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),"
+            " w AS (SELECT lang, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM sizes),"
+            " t AS (SELECT lang, CAST((200 * w) //"
+            "   (SELECT CAST(SUM(w) AS BIGINT) FROM w) AS BIGINT) AS target FROM w),"
+            " r AS (SELECT doc_id, lang, CAST(ROW_NUMBER() OVER ("
+            "  PARTITION BY lang"
+            "  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS mix_rank"
+            "  FROM documents)"
+            " SELECT r.doc_id, r.lang, r.mix_rank, t.target"
+            " FROM r JOIN t USING (lang) WHERE r.mix_rank <= t.target"
+        ),
+        "cluster_keep_best": (
+            # clusters in closed form (chain components v - v%10, same
+            # fixture as near_dup_clusters); keep = argmax(n_tokens, min id)
+            "WITH verts AS (SELECT DISTINCT v FROM ("
+            " SELECT doc_id AS v FROM documents WHERE doc_id % 10 <= 2"
+            " UNION ALL"
+            " SELECT doc_id + 1 AS v FROM documents WHERE doc_id % 10 <= 2)),"
+            " m AS (SELECT d.doc_id,"
+            "  len(string_split(d.text, ' ')) AS n_tokens,"
+            "  COALESCE(verts.v - verts.v % 10, d.doc_id) AS cluster_rep"
+            "  FROM documents d LEFT JOIN verts ON d.doc_id = verts.v)"
+            " SELECT doc_id, cluster_rep,"
+            " CAST(ROW_NUMBER() OVER (PARTITION BY cluster_rep"
+            "  ORDER BY n_tokens DESC, doc_id) AS INT) AS keep_rank,"
+            " (ROW_NUMBER() OVER (PARTITION BY cluster_rep"
+            "  ORDER BY n_tokens DESC, doc_id) = 1) AS kept"
+            " FROM m"
         ),
         "fingerprint": (
             "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("

@@ -72,7 +72,7 @@ def bench_queries(sf_dir: str, cpus: int) -> dict[str, float]:
         "dedup_exact",
         "token_counts",
         "decontaminate",
-        "quality_score",
+        "text_quality",
         "fingerprint",
         "ann_topk",
         "minhash_lsh_pairs",

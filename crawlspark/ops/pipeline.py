@@ -121,6 +121,86 @@ def quota_sample(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    total: int = 200,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based corpus mixing — the α-weighted group sampling of
+    public multilingual-LM pipelines (mT5/XLM-R-style α≈0.5 exponent
+    smoothing [pub]) at α = 0.5: group g receives
+    ``floor(total · w_g / Σw)`` slots where ``w_g = floor(sqrt(n_g))``, so
+    small groups are up-weighted relative to proportional sampling.
+
+    Exactness discipline: integer square roots + integer floor division —
+    never double ``pow()``, whose last-ulp differences across engines flip
+    ``floor()`` at boundaries (``sqrt`` of an exact integer IS correctly
+    rounded by IEEE-754 in both Spark and DuckDB, so floor(sqrt(n)) is
+    deterministic). Rows within a group rank by ``(md5(id), id)`` exactly
+    like :func:`quota_sample`, so the selection is stable under re-runs and
+    repartitioning.
+
+    Scale: the sizes frame is |groups| rows (map-side partial count); the
+    target table broadcasts back; the per-group rank is one shuffle on
+    ``group_col``. The limit varies per group, so this is a Filter over a
+    Window (not a WindowGroupLimit) — at 10^10 rows pre-prune with
+    ``quota_sample(df, quota=max_target)`` first if the group count is
+    small enough to make that bound tight."""
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    weights = sizes.withColumn(
+        "w", F.floor(F.sqrt(F.col("n"))).cast("long")
+    )
+    denom = weights.agg(F.sum("w").alias("wsum"))
+    targets = (
+        weights.crossJoin(F.broadcast(denom))
+        .withColumn(
+            "target", F.expr(f"CAST({total} AS BIGINT) * w div wsum")
+        )
+        .select(group_col, "target")
+    )
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .join(F.broadcast(targets), group_col)
+        .filter(F.col("mix_rank") <= F.col("target"))
+    )
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup canonicalization with a QUALITY keep-policy: instead of
+    keeping each cluster's minimum id (curate_corpus's default), keep its
+    highest-``quality_col`` member, ties broken by minimum id — the
+    practical rule (among near-duplicate copies, keep the longest /
+    best-formatted one) in public curation pipelines [pub]. Docs in no
+    cluster keep themselves.
+
+    Plan shape: clusters come from :func:`crawlspark.ops.dedup.
+    cluster_pairs` (one shuffle per iteration, lineage-truncated); the keep
+    rule is ONE additional window over ``cluster_rep`` — the ranking tuple
+    is the policy seam (swap in any quality signal)."""
+    from crawlspark.ops.dedup import cluster_pairs
+
+    clusters = cluster_pairs(pairs)
+    member = (
+        docs.join(clusters, docs[id_col] == clusters["id"], "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col(id_col)))
+        .drop("id")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    return member.withColumn("keep_rank", F.row_number().over(w)).withColumn(
+        "kept", F.col("keep_rank") == 1
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -516,6 +516,51 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert 0.04 < frac50["test"] / 2000 < 0.16
 
 
+def test_temperature_mix_targets_and_determinism(spark):
+    """α=0.5 temperature mixing: targets are floor(total·isqrt(n)/Σisqrt),
+    so small groups are up-weighted vs proportional; the selection is
+    deterministic (same rows on re-run) and never exceeds the target."""
+    from crawlspark.ops.pipeline import temperature_mix
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, group_col="lang", total=100).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["lang"], []).append((r["mix_rank"], r["target"]))
+    # isqrt weights: big=20, small=4 → targets 100*20//24=83, 100*4//24=16
+    assert {r[1] for r in got["big"]} == {83} and len(got["big"]) == 83
+    assert {r[1] for r in got["small"]} == {16} and len(got["small"]) == 16
+    # proportional sampling would give small 100*16/416 ≈ 4 slots; α=0.5
+    # up-weights it to 16 — the policy is live, not a no-op
+    again = sorted(
+        (r["doc_id"], r["mix_rank"])
+        for r in temperature_mix(df, group_col="lang", total=100).collect()
+    )
+    assert again == sorted((r["doc_id"], r["mix_rank"]) for r in out)
+
+
+def test_cluster_keep_best_prefers_quality_over_min_id(spark):
+    """Keep-policy canonicalization: within a near-dup cluster the kept doc
+    is the HIGHEST-quality member (ties → min id), not the minimum id;
+    unclustered docs keep themselves."""
+    from crawlspark.ops.pipeline import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(0, 5), (1, 9), (2, 9), (10, 3), (99, 7)],
+        "doc_id long, n_tokens int",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["cluster_rep"], r["kept"])
+           for r in cluster_keep_best(docs, pairs).collect()}
+    # cluster {0,1,2}: quality 5,9,9 → keep 1 (max quality, min id tie)
+    assert got[0] == (0, False)
+    assert got[1] == (0, True)
+    assert got[2] == (0, False)
+    # unclustered docs keep themselves
+    assert got[10] == (10, True) and got[99] == (99, True)
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """Benchmark decontamination: a doc sharing one 8-gram with the
     benchmark set is flagged; docs with no shared 8-gram (even with 7-word
