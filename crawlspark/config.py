@@ -84,6 +84,15 @@ class CrawlConfig:
     priority_mode: str = "bfs"
     indegree_cap: int = 99
     pagerank_iterations: int = 4
+    # Recompute the pagerank ranking every k rounds instead of every round:
+    # round rnd ranks against edges accumulated through round
+    # basis = rnd - (rnd % k) (basis 0 = no boost yet). Ranks are a pure
+    # function of committed storage state, so resume is exact by
+    # construction (a resumed engine recomputes the identical basis ranks),
+    # and the sequential oracle mirrors the same staleness. k=1 (default)
+    # re-ranks every round; at the 10^4-round design point k=O(10-100)
+    # bounds the re-rank cost the way compact_seen_every bounds listings.
+    pagerank_every: int = 1
     # Scaling-calibration knob (jobs/compute_scaling.py): extra deterministic
     # hash evaluations per fetched URL inside the distributed fetch stage —
     # models real fetch/parse CPU cost (HTML parsing, tokenization) WITHOUT

@@ -161,6 +161,11 @@ class CrawlEngine:
         self._bloom_index: dict[int, int] = {}
         self.cuckoo = CuckooFilter(capacity=max(64, cfg.web_hosts * 4))
         self.history: list[RoundMetrics] = []
+        # pagerank-priority rank cache: (basis_round, ranks DataFrame). The
+        # ranks are a pure function of the committed edges table at the
+        # basis round, so the cache is a recompute-avoidance only — resume
+        # or cache loss recomputes the identical frame.
+        self._rank_cache: tuple[int, DataFrame] | None = None
 
     def _bloom_capacity(self) -> int:
         """Per-bucket Bloom capacity, sized from the A6 cardinality estimate
@@ -734,31 +739,52 @@ class CrawlEngine:
             # crawling (Cho, Garcia-Molina & Page, WWW 1998 [pub]).
             from crawlspark.ops.graph import SCALE, pagerank
 
-            g = self.storage.read_table("edges", upto_round=rnd).select(
-                F.col("src_hash").alias("src"), F.col("dst_hash").alias("dst")
-            )
-            nodes = (
-                g.select(F.col("src").alias("node"))
-                .unionByName(g.select(F.col("dst").alias("node")))
-                .distinct()
-            )
-            ranks = pagerank(g, nodes, iterations=cfg.pagerank_iterations)
-            boost = (
-                F.least(
-                    F.coalesce(F.col("pagerank_scaled"), F.lit(0).cast("long")),
-                    F.lit(SCALE - 1).cast("long"),
-                ).cast("double")
-                / F.lit(float(SCALE))
-            )
-            cand = (
-                cand.join(
-                    ranks.withColumnRenamed("node", "url_hash"),
-                    "url_hash",
-                    "left",
+            # Staleness knob (cfg.pagerank_every = k): rank against edges
+            # through basis = rnd - (rnd % k). basis == 0 → no boost yet
+            # (pure bfs round). Ranks for a basis are computed once and
+            # cached; pure-function-of-storage semantics keep resume exact
+            # and let the oracle replay the identical staleness.
+            k_every = max(1, cfg.pagerank_every)
+            basis = rnd - (rnd % k_every)
+            ranks = None
+            if basis > 0:
+                if self._rank_cache is not None and self._rank_cache[0] == basis:
+                    ranks = self._rank_cache[1]
+                else:
+                    g = self.storage.read_table(
+                        "edges", upto_round=basis
+                    ).select(
+                        F.col("src_hash").alias("src"),
+                        F.col("dst_hash").alias("dst"),
+                    )
+                    nodes = (
+                        g.select(F.col("src").alias("node"))
+                        .unionByName(g.select(F.col("dst").alias("node")))
+                        .distinct()
+                    )
+                    ranks = pagerank(
+                        g, nodes, iterations=cfg.pagerank_iterations
+                    )
+                    self._rank_cache = (basis, ranks)
+            if ranks is not None:
+                boost = (
+                    F.least(
+                        F.coalesce(
+                            F.col("pagerank_scaled"), F.lit(0).cast("long")
+                        ),
+                        F.lit(SCALE - 1).cast("long"),
+                    ).cast("double")
+                    / F.lit(float(SCALE))
                 )
-                .withColumn("priority", F.col("priority") - boost)
-                .drop("pagerank_scaled")
-            )
+                cand = (
+                    cand.join(
+                        ranks.withColumnRenamed("node", "url_hash"),
+                        "url_hash",
+                        "left",
+                    )
+                    .withColumn("priority", F.col("priority") - boost)
+                    .drop("pagerank_scaled")
+                )
         # A1 intra-round first-wins dedup
         wdup = Window.partitionBy("url_hash").orderBy(*DISCOVERY_ORDER)
         cand = (
@@ -932,6 +958,13 @@ class CrawlEngine:
         # crash anywhere in here re-runs nothing and corrupts nothing.
         if cfg.compact_seen_every and rnd % cfg.compact_seen_every == 0:
             self.storage.compact_table("seen", upto_round=rnd)
+            # pagerank priority re-reads the edges-so-far table each basis
+            # round, so under that mode edges gets the same listing-bound
+            # treatment as seen (read_table round<=basis cuts stay
+            # row-identical below the pointer — test_read_table_equality_
+            # across_compaction pins it)
+            if cfg.priority_mode == "pagerank":
+                self.storage.compact_table("edges", upto_round=rnd)
         if cfg.expire_frontier:
             self.storage.expire_frontier_snapshots(keep_upto=rnd)
         m.extras["next_frontier_size"] = next_size

@@ -168,6 +168,42 @@ def test_compaction_crash_safety(spark, tmp_path):
     )
 
 
+def test_pagerank_mode_maintenance_is_bit_identical(spark, tmp_path):
+    """priority_mode="pagerank" re-reads the edges table each basis round,
+    so the maintenance schedule also compacts edges in that mode — and the
+    ranking must be unaffected: a pagerank crawl with compaction + expiry
+    on equals the plain pagerank run row-for-row (the basis read is a
+    round<=k cut, which compaction preserves), and the edges table really
+    was compacted."""
+    cfg_plain = CrawlConfig(
+        max_depth=2, max_rounds=8, web_hosts=6, shuffle_partitions=4,
+        hot_host="host00.example", priority_mode="pagerank",
+    )
+    cfg_maint = CrawlConfig(
+        max_depth=2, max_rounds=8, web_hosts=6, shuffle_partitions=4,
+        hot_host="host00.example", priority_mode="pagerank",
+        compact_seen_every=2, expire_frontier=True,
+    )
+    seeds = synthweb.seed_list(cfg_plain, n=20)
+    plain = CrawlStorage(spark, tmp_path / "plain")
+    maint = CrawlStorage(spark, tmp_path / "maint")
+    s1 = CrawlEngine(spark, cfg_plain, plain).run(seeds)
+    s2 = CrawlEngine(spark, cfg_maint, maint).run(seeds)
+    assert s1["totals"] == s2["totals"] and s1["rounds"] == s2["rounds"]
+    assert _state(plain) == _state(maint)
+    ptr = maint.compact_pointer("edges")
+    assert ptr is not None and ptr["upto"] >= 2
+    edges_plain = sorted(
+        (r["src_hash"], r["dst_hash"], r["round"])
+        for r in plain.read_table("edges").collect()
+    )
+    edges_maint = sorted(
+        (r["src_hash"], r["dst_hash"], r["round"])
+        for r in maint.read_table("edges").collect()
+    )
+    assert edges_plain == edges_maint
+
+
 def test_compaction_rerun_is_noop(spark, tmp_path):
     """A re-run with an already-covered upto_round (crash recovery, manual
     retry) is an idempotent no-op. Without the pointer guard the overwrite
