@@ -480,15 +480,20 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # localCheckpoint the signature pass: the banding and the re-attach
     # joins reference it several times and Spark re-runs an unpersisted UDF
     # subtree per reference; persist() would leak a CacheManager entry for
-    # the session lifetime (the bench session runs 50 queries)
-    sigs = with_minhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    # the session lifetime (the bench session runs 50 queries).
+    # eager=False: the signature scan runs at first ACTION, not at
+    # plan-build time, so bench.py's timed write window still pays for it —
+    # eager=True would silently move ~60% of this query's recorded cost
+    # outside the measurement (localCheckpoint caches MEMORY_AND_DISK under
+    # the hood, so multi-reference dedup is preserved either way).
+    sigs = with_minhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=False)
     return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
 
 
 def q_simhash_near_pairs(spark, sf_dir):
     from crawlspark.ops.dedup import simhash_near_pairs, with_simhash
 
-    sigs = with_simhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=True)
+    sigs = with_simhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=False)
     return simhash_near_pairs(sigs)
 
 

@@ -139,10 +139,13 @@ def embedding_near_dup_pairs(
     # persist() would pin the cache entry for the session lifetime (the
     # CacheManager holds it by plan, not by reference — a leak across a
     # many-query bench session); localCheckpoint blocks are reclaimed by the
-    # ContextCleaner once the driver-side reference goes away.
+    # ContextCleaner once the driver-side reference goes away. eager=False
+    # keeps the scan inside the caller's action (honest bench timing);
+    # multi-reference dedup is preserved (localCheckpoint caches
+    # MEMORY_AND_DISK under the hood).
     sig = vectors.select(
         F.col(id_col).alias("id"), rh_sig_udf(seed)(F.col(vec_col)).alias("simhash")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # Band over DISTINCT signatures (exactly like dedup.simhash_near_pairs):
     # duplicate-heavy vector sets — the case that motivates near-dup removal —
     # contribute ONE row per signature per table to the banding self-join, so

@@ -133,6 +133,7 @@ def test_indegree_priority_mode_matches_oracle(spark, tmp_path):
         seeds,
     )
     assert bfs.seen == want.seen
+    assert bfs.crawl_order != want.crawl_order
 
 
 def test_pagerank_priority_mode_matches_oracle(spark, tmp_path):
