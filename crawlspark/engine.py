@@ -607,12 +607,15 @@ class CrawlEngine:
         # Partition count adapts to the frontier size (known exactly from
         # the previous manifest — no counting job): python-stage tasks have
         # real fixed cost, so small rounds use few fat partitions, big
-        # rounds the full configured width (CrawlConfig.fetch_rows_per_partition).
+        # rounds the full configured width. The rows-per-partition target is
+        # itself derived from the per-URL CPU cost (_fetch_rows_target), so
+        # heavy-work rounds saturate the configured width instead of running
+        # 16-wide on 32 cores (the round-4 probe's finding).
         fetch_parts = max(
             4,
             min(
                 cfg.shuffle_partitions,
-                -(-max(approx, 1) // cfg.fetch_rows_per_partition),
+                -(-max(approx, 1) // _fetch_rows_target(cfg)),
             ),
         )
         # salt cardinality must be MUCH larger than the partition count:
@@ -1035,6 +1038,31 @@ class CrawlEngine:
             "totals": final.get("totals", {}),
             "exhausted": (final.get("next_frontier_size", final.get("frontier_size", 1)) == 0),
         }
+
+
+def _fetch_rows_target(cfg: CrawlConfig) -> int:
+    """Rows-per-partition target for the fetch stage, derived from per-URL
+    CPU cost instead of a fixed row count.
+
+    Light-work crawls (fetch_cpu_work=0) keep the measured-on-this-sandbox
+    default (CrawlConfig.fetch_rows_per_partition): python tasks shorter
+    than ~0.5 s lose to worker-attach overhead, so small rounds want few
+    fat partitions. When per-URL work is heavy the same row count makes
+    partitions far fatter than they need to be to amortize attach cost and
+    mid-size rounds under-fill the configured width (the round-4 scaling
+    probe measured round 3 running 16-wide on 32 cores at ~4 ms/URL). Here
+    the target is sized so each partition carries >= TARGET_US of python
+    work — comfortably above attach cost — using the fetch_cpu_work burn
+    calibration (~2 us per unit per URL, jobs/compute_scaling.py), floored
+    at 8 rows so pathological work levels never degenerate to 1-row tasks.
+    Pure sizing: partition count never changes results (pinned by the
+    cross-parallelism determinism tests and
+    test_fetch_cpu_work_does_not_change_results)."""
+    if cfg.fetch_cpu_work <= 0:
+        return cfg.fetch_rows_per_partition
+    target_us = 100_000.0  # >= 100 ms of work per partition
+    per_url_us = 2.0 * cfg.fetch_cpu_work
+    return max(8, min(cfg.fetch_rows_per_partition, int(target_us // per_url_us)))
 
 
 def _make_fetcher(cfg: CrawlConfig):
