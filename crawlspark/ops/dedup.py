@@ -167,7 +167,19 @@ def lsh_candidate_pairs(
     join ships only (sig_key, band, band_hash); `est_jaccard` is computed
     once per DISTINCT signature pair, then doc ids re-attach per sig_key
     (identical-signature docs pair within their group at est_jaccard 1.0,
-    the exact value the slot comparison yields for equal arrays)."""
+    the exact value the slot comparison yields for equal arrays).
+
+    Collision caveat: sig_key is a 64-bit hash OF the signature, so two
+    DISTINCT signatures colliding on it are silently merged — the same_sig
+    branch then emits their doc pairs at est_jaccard 1.0. Note the failure
+    DIRECTION: this is a FALSE POSITIVE feeding a deletion policy (a doc
+    wrongly dropped as a dup), the unsafe direction — unlike decontaminate,
+    where a hash false positive merely over-filters. At P(collision) ≈
+    n_distinct²/2^65 this needs ~10^9 distinct signatures to reach ~3%;
+    pipelines above that scale (or deleting without the downstream
+    ngram/exact verify stage this repo pairs LSH with) should re-key the
+    same_sig join and the dmap/ids re-attach on the minhash array itself —
+    the 24-byte band shuffle can keep the hash either way."""
     r = num_perm // bands
     dsig = (
         sig_df.select("minhash")

@@ -72,9 +72,17 @@ def pagerank(
     ed = e.join(deg, "src").persist()
     n_nodes = nodes.count()
     if n_nodes == 0:
+        # Materialize even the empty frame (and release the edges persist):
+        # callers cache the returned ranks (engine._rank_cache) and may
+        # re-execute them AFTER the storage this plan reads has been
+        # compacted/GC'd — a lazy return here would then fail; eager
+        # localCheckpoint roots it in materialized (empty) blocks exactly
+        # like the normal path below.
+        ed.unpersist()
         return nodes.select(
-            F.col("node").cast("long"), F.lit(0).cast("long").alias("pagerank_scaled")
-        )
+            F.col("node").cast("long"),
+            F.lit(0).cast("long").alias("pagerank_scaled"),
+        ).localCheckpoint(eager=True)
     per_node = scale // n_nodes
     base = ((damping_den - damping_num) * per_node) // damping_den
 

@@ -143,10 +143,17 @@ def temperature_mix(
 
     Scale: the sizes frame is |groups| rows (map-side partial count); the
     target table broadcasts back; the per-group rank is one shuffle on
-    ``group_col``. The limit varies per group, so this is a Filter over a
-    Window (not a WindowGroupLimit) — at 10^10 rows pre-prune with
-    ``quota_sample(df, quota=max_target)`` first if the group count is
-    small enough to make that bound tight."""
+    ``group_col``. The varying per-group limit cannot itself collapse to a
+    WindowGroupLimit, so the rank is computed by :func:`quota_sample` at
+    the STATIC bound ``quota=total`` (no group's target can exceed
+    ``total`` — targets sum to ≤ total by construction): the one ranking
+    window IS a WindowGroupLimit (map-side partial top-``total`` before
+    the exchange), a dominant group costs its mappers, not one reducer
+    sorting its full mass, and the varying ``target`` cut is a plain
+    Filter on the already-bounded stream. Selection is unchanged: the
+    pre-prune keeps each group's rank-``total`` prefix under the SAME
+    ``(md5(id), id)`` order, a superset of every rank-``target`` prefix.
+    Pinned by ``test_plans::test_temperature_mix_is_window_group_limit``."""
     sizes = df.groupBy(group_col).agg(F.count("*").alias("n"))
     weights = sizes.withColumn(
         "w", F.floor(F.sqrt(F.col("n"))).cast("long")
@@ -159,10 +166,9 @@ def temperature_mix(
         )
         .select(group_col, "target")
     )
-    order = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
     return (
-        df.withColumn("mix_rank", F.row_number().over(w))
+        quota_sample(df, group_col=group_col, quota=total, id_col=id_col)
+        .withColumnRenamed("qs_rank", "mix_rank")
         .join(F.broadcast(targets), group_col)
         .filter(F.col("mix_rank") <= F.col("target"))
     )
@@ -204,14 +210,16 @@ def cluster_keep_best(
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
-    n: int = 8,
+    n: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that share any
     word ``n``-gram with an evaluation/benchmark set (the train-test
     overlap filter of public LLM curation pipelines: GPT-3 appendix C /
-    Gopher-style 13-gram decontamination [pub]).
+    Gopher-style 13-gram decontamination [pub] — hence the default
+    ``n=13``; smaller n is stricter).
 
     Plan shape (the part that matters at 10^10 docs): both sides explode to
     ``(id, xxhash64(n-gram))`` — the join ships 16 bytes per gram, never
@@ -225,6 +233,12 @@ def decontaminate(
     Hash note: flagging via xxhash64(gram) admits a false positive only on
     a 64-bit collision; a decontamination pass PREFERS that direction
     (dropping one extra doc is free, leaking one benchmark doc is not).
+
+    ``broadcast_bench=False`` switches the contamination join to a shuffle
+    left-semi (both sides exchange on gram_hash) for "benchmark" inputs too
+    large for a driver broadcast — same flags bit-for-bit (pinned by
+    test_decontaminate_shuffle_fallback_matches), at one extra shuffle of
+    16-byte rows.
     """
     gram_expr = (
         f"transform(sequence(0, size(tokens)-{n}), "
@@ -240,9 +254,16 @@ def decontaminate(
         )
 
     bench_grams = grams(benchmark, "bench_id").select("gram_hash").distinct()
+    # the hint (not just the absence of F.broadcast) matters: Catalyst would
+    # otherwise still auto-broadcast a side under its size threshold, and the
+    # whole point of the fallback is a bench side too big for the driver
+    bench_grams = (
+        F.broadcast(bench_grams) if broadcast_bench
+        else bench_grams.hint("shuffle_hash")
+    )
     contaminated = (
         grams(docs, "doc_id_c")
-        .join(F.broadcast(bench_grams), "gram_hash", "left_semi")
+        .join(bench_grams, "gram_hash", "left_semi")
         .select(F.col("doc_id_c"))
         .distinct()
         .withColumn("contaminated", F.lit(True))

@@ -92,9 +92,14 @@ def rh_sig_udf(seed: int = 42):
             return pd.Series(pack(bits))
 
         def one(v) -> int:
+            # same gemm kernel as the batched path (x[None,:] @ planes.T),
+            # NOT a gemv (planes @ x): BLAS gemm and gemv may block/round a
+            # dot product differently, and a projection within rounding
+            # error of 0 would then flip a sign bit depending on which path
+            # a batch took — signature bits must be path-stable.
             xi = np.asarray(v, dtype=np.float64)
-            b = (planes_for(len(xi)) @ xi) >= 0
-            return int(pack(b[None, :])[0])
+            b = (xi[None, :] @ planes_for(len(xi)).T) >= 0
+            return int(pack(b)[0])
 
         return vecs.map(one)
 

@@ -590,6 +590,25 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert got[4] == (False, 0)
 
 
+def test_decontaminate_shuffle_fallback_matches(spark):
+    """broadcast_bench=False (oversized 'benchmark' inputs) must produce the
+    SAME flags as the broadcast path through a shuffle left-semi — and the
+    plan must actually take it (no broadcast exchange feeding the semi
+    join)."""
+    from crawlspark.ops.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    fast = decontaminate(docs, bench, n=8)
+    slow = decontaminate(docs, bench, n=8, broadcast_bench=False)
+    cols = ["doc_id", "contaminated", "n_grams"]
+    assert fast.select(cols).exceptAll(slow.select(cols)).count() == 0
+    assert slow.select(cols).exceptAll(fast.select(cols)).count() == 0
+    plan = slow._jdf.queryExecution().executedPlan().toString()
+    semi = [s for s in plan.split("\n\n") if "LeftSemi" in s]
+    assert semi and all("Broadcast" not in s.splitlines()[0] for s in semi), plan
+
+
 def test_scrub_pii_masks_and_counts(spark):
     from crawlspark.ops.text import scrub_pii
 

@@ -149,6 +149,23 @@ def test_quota_sample_is_window_group_limit(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_temperature_mix_is_window_group_limit(spark):
+    """temperature_mix's varying per-group target cannot itself be a
+    WindowGroupLimit, so the op must rank through quota_sample's STATIC
+    quota=total bound: the plan's one ranking window collapses to a
+    WindowGroupLimit (map-side partial top-total before the exchange) and
+    the varying target cut is a plain Filter on the bounded stream — a
+    dominant group (60% of a 10^10-row corpus) costs its mappers, never
+    one reducer sorting its full mass."""
+    from crawlspark.ops.pipeline import temperature_mix
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(temperature_mix(docs, group_col="lang", total=200))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("Exchange")[-1] or plan.count("WindowGroupLimit") >= 2, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_iceberg_dispatch_seam(spark, tmp_path):
     """catalog=None keeps the parquet facade (bit-for-bit existing
     behavior); catalog="..." routes every table write/read through the
