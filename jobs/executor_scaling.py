@@ -79,7 +79,12 @@ def _silicon_ceiling(n: int, work_sec: float = 2.0) -> dict:
 
 
 def run_crawl(
-    n_executors: int, cores_per_exec: int, zip_path: str, work: int
+    n_executors: int,
+    cores_per_exec: int,
+    zip_path: str,
+    work: int,
+    seeds_n: int = 4000,
+    hosts: int = 2000,
 ) -> dict:
     from pyspark.sql import SparkSession
 
@@ -106,7 +111,7 @@ def run_crawl(
         cfg = CrawlConfig(
             max_depth=3,
             max_rounds=8,
-            web_hosts=2000,
+            web_hosts=hosts,
             round_seconds=1e9,
             shuffle_partitions=max(8, total_cores),
             # realistic per-URL parallel fraction; outputs byte-identical at
@@ -115,7 +120,7 @@ def run_crawl(
             fetch_cpu_work=work,
         )
         engine = CrawlEngine(spark, cfg, CrawlStorage(spark, root))
-        seeds = synthweb.seed_list(cfg, n=4000)
+        seeds = synthweb.seed_list(cfg, n=seeds_n)
         # python-worker warm-up on every executor (bench.py rationale):
         # worker spawn + library imports must not bill to the timed crawl
         from pyspark.sql import functions as F
@@ -168,6 +173,13 @@ def main() -> None:
     ap.add_argument("--work", type=int, default=2000,
                     help="fetch_cpu_work (~2 us per unit per URL); 0 = the "
                     "bare round-3/4 probe")
+    # a smaller web x heavier per-URL work holds total compute (seconds of
+    # distributed burn) constant while shrinking the rows every fixed-cost
+    # stage (shuffles, windows, sinks) must push — i.e. it raises the
+    # parallel fraction the way a real fetch+parse workload (tens of ms per
+    # URL) does, without raising the probe's wall-clock budget
+    ap.add_argument("--seeds", type=int, default=4000)
+    ap.add_argument("--hosts", type=int, default=2000)
     args = ap.parse_args()
 
     ceiling = _silicon_ceiling(args.cores_per_executor)  # same slot, FIRST
@@ -179,7 +191,10 @@ def main() -> None:
     for n in (4, 1, 1, 4):
         if len(runs) >= 2 and time.time() - t0 > args.budget:
             break
-        runs.append(run_crawl(n, args.cores_per_executor, zip_path, args.work))
+        runs.append(
+            run_crawl(n, args.cores_per_executor, zip_path, args.work,
+                      seeds_n=args.seeds, hosts=args.hosts)
+        )
     by = lambda n: [r for r in runs if r["executors"] == n]  # noqa: E731
     best = {
         n: max(by(n), key=lambda r: r["throughput_urls_per_sec"])
@@ -188,6 +203,8 @@ def main() -> None:
     out: dict = {
         "mode": "local-cluster (separate executor JVMs, netty shuffle)",
         "work": args.work,
+        "seeds": args.seeds,
+        "hosts": args.hosts,
         "silicon_ceiling": ceiling,
         "n_executors": best.get(1),
         "n4_executors": best.get(4),
