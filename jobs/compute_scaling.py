@@ -36,7 +36,11 @@ under-partitioned when per-URL work is expensive — the config knob
 (CrawlConfig.fetch_rows_per_partition) exists precisely for this trade.
 
 Usage: python jobs/compute_scaling.py [--work 2000] [--seeds 4000]
-                                      [--rows-per-partition 500]
+                                      [--rows-per-partition 500] [--cores 8]
+`--cores N` selects the parallelism pair (local[N] vs local[4N]; default
+8 → 8-vs-32, the bench-standard pair). N=4 runs 4-vs-16 — both widths on
+physical cores with half the credit burn of 8-vs-32, the cheapest honest
+rendering of the contract's "N and 4N cores" form on this 32-core VM.
 Prints one JSON line: per-width best throughput at the given work level,
 efficiency, the bare-stage comparator, the same-slot hardware ceiling, and
 determinism fields.
@@ -156,22 +160,39 @@ def main() -> None:
                     help="fetch_rows_per_partition for the heavy-work probe "
                     "(the light-task default 2000 under-partitions small "
                     "rounds when per-URL work is expensive)")
+    ap.add_argument("--cores", type=int, default=8,
+                    help="N of the N-vs-4N pair (local[N] vs local[4N])")
+    ap.add_argument("--bare-rows", type=int, default=150_000,
+                    help="rows for the bare-stage comparator; shrink at "
+                    "heavy --work so the comparator doesn't dwarf the crawl")
     ap.add_argument("--budget", type=float, default=900.0)
     args = ap.parse_args()
 
-    from bench import calibrate_hardware
+    lo, hi = args.cores, 4 * args.cores
 
-    ceiling = calibrate_hardware()  # same-slot silicon ceiling FIRST
+    # same-slot silicon ceiling FIRST (mp.Pool lo -> hi procs, pure python —
+    # bench.calibrate_hardware generalized to the chosen pair)
+    import multiprocessing as mp
+
+    from bench import _burn
+
+    def _measure(k: int) -> float:
+        with mp.Pool(k) as p:
+            return sum(p.map(_burn, [2.0] * k))
+
+    w_lo, w_hi = _measure(lo), _measure(hi)
+    hw_ceiling = round((w_hi / w_lo) / 4, 3)
+
     bare = {
-        32: run_bare_stage(32, args.work, 150_000),
-        8: run_bare_stage(8, args.work, 150_000),
+        hi: run_bare_stage(hi, args.work, args.bare_rows),
+        lo: run_bare_stage(lo, args.work, args.bare_rows),
     }
 
     t0 = time.time()
     runs = []
     # interleaved wide-first best-of-2, the documented discipline for this
     # burst-credit VM (bench.py bench_big_crawl)
-    for cores in (32, 8, 8, 32):
+    for cores in (hi, lo, lo, hi):
         if len(runs) >= 2 and time.time() - t0 > args.budget:
             break
         runs.append(run_crawl(cores, args.work, args.seeds,
@@ -179,31 +200,30 @@ def main() -> None:
     by = lambda c: [r for r in runs if r["cores"] == c]  # noqa: E731
     best = {
         c: max(by(c), key=lambda r: r["throughput_urls_per_sec"])
-        for c in (8, 32) if by(c)
+        for c in (lo, hi) if by(c)
     }
     out: dict = {
         "probe": "fetch_cpu_work scaling (parallel-fraction sweep)",
         "work": args.work,
         "rows_per_partition": args.rows_per_partition,
-        "hw_ceiling_8_to_32": ceiling["hardware_ceiling_efficiency"],
-        "bare_stage_walls_sec": {"local8": bare[8], "local32": bare[32]},
-        "bare_stage_eff_8_to_32": round(bare[8] / (4 * bare[32]), 3),
-        "local8": best.get(8),
-        "local32": best.get(32),
+        "cores_pair": [lo, hi],
+        f"hw_ceiling_{lo}_to_{hi}": hw_ceiling,
+        "bare_stage_walls_sec": {f"local{lo}": bare[lo], f"local{hi}": bare[hi]},
+        f"bare_stage_eff_{lo}_to_{hi}": round(bare[lo] / (4 * bare[hi]), 3),
+        f"local{lo}": best.get(lo),
+        f"local{hi}": best.get(hi),
         "all_walls_sec": [r["wall_sec"] for r in runs],
         "run_order_cores": [r["cores"] for r in runs],
         "rounds_equal": len({r["rounds"] for r in runs}) == 1,
         "fetched_equal": len({r["fetched"] for r in runs}) == 1,
         "seen_equal": len({r["seen"] for r in runs}) == 1,
     }
-    if 8 in best and 32 in best:
-        eff = best[32]["throughput_urls_per_sec"] / (
-            4 * best[8]["throughput_urls_per_sec"]
+    if lo in best and hi in best:
+        eff = best[hi]["throughput_urls_per_sec"] / (
+            4 * best[lo]["throughput_urls_per_sec"]
         )
-        out["scaling_efficiency_8_to_32"] = round(eff, 3)
-        out["efficiency_vs_hw_ceiling"] = round(
-            eff / ceiling["hardware_ceiling_efficiency"], 3
-        )
+        out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
+        out["efficiency_vs_hw_ceiling"] = round(eff / hw_ceiling, 3)
     print(json.dumps(out))
 
 
