@@ -434,7 +434,12 @@ def main() -> None:
     parts = os.environ.get(
         "SPARK_GRAFT_BENCH_PARTS", "bigcrawl,queries,calibrate,docproc,crawl"
     ).split(",")
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
+    # 540 -> 780 (round 5): in a drained credit slot the queries+bigcrawl
+    # prefix alone can exceed 540 s, which budget-skipped the LAST part
+    # ("crawl", the small determinism fixture the round-4 verdict asked to
+    # re-measure). The headline parts run first either way, so a larger
+    # budget only decides whether the tail parts land in the artifact.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
     t_start = time.time()
