@@ -224,6 +224,33 @@ def main() -> None:
         )
         out[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
         out["efficiency_vs_hw_ceiling"] = round(eff / hw_ceiling, 3)
+        # Amdahl decomposition from the two best walls: T(c) = S + W/c.
+        # S is the width-invariant cost (driver barriers, commits, JVM
+        # scheduling — per ROUND, not per URL); W is distributable work.
+        # Falsifiable consequence: quadrupling the round size (seeds) at the
+        # same per-URL work should leave S/rounds roughly flat while W
+        # quadruples, and measured efficiency should climb toward the
+        # ceiling — that is the 10^10-frontier amortization claim in
+        # testable form.
+        t_lo, t_hi = best[lo]["wall_sec"], best[hi]["wall_sec"]
+        w_total = (t_lo - t_hi) / (1.0 / lo - 1.0 / hi)
+        serial = t_lo - w_total / lo
+        rounds = best[lo]["rounds"]
+        out["amdahl"] = {
+            "serial_sec": round(serial, 1),
+            "parallel_core_sec": round(w_total, 1),
+            "serial_sec_per_round": round(serial / max(rounds, 1), 1),
+            "parallel_fraction_at_lo": round(
+                (w_total / lo) / max(t_lo, 1e-9), 4
+            ),
+            # what this S,W pair predicts for a 4x-larger round at the
+            # same per-URL work (W scales, S does not): the number the
+            # big-round probe should land on if the model is right
+            "predicted_eff_at_4x_round_size": round(
+                (serial + 4 * w_total / lo)
+                / (4 * (serial + 4 * w_total / hi)), 3
+            ),
+        }
     print(json.dumps(out))
 
 
