@@ -13,8 +13,15 @@ Per-round tables print for BASELINE.md; the balanced run's per-round
 numbers must be bit-identical to the round-2 recorded table (engine
 refactors change wall time, never results).
 
+``--hosts``/``--seeds`` scale the synthetic web another order of magnitude
+with the identical plan/config shape (``--hosts 100000 --seeds 250000``
+crawls ~10^7 URLs), so per-URL cost can be compared across 10^5 / 10^6 /
+10^7 round sizes — the flat-cost extrapolation evidence for the 10^10
+design point.
+
 Usage:
     python jobs/scale_demo.py [--skew-only | --balanced-only] [--cores 32]
+                              [--hosts H] [--seeds S] [--maintenance]
 """
 
 from __future__ import annotations
@@ -50,7 +57,13 @@ def make_spark(cores: int):
     )
 
 
-def run_demo(cores: int, skew: bool, maintenance: bool = False) -> dict:
+def run_demo(
+    cores: int,
+    skew: bool,
+    maintenance: bool = False,
+    hosts: int = 10_000,
+    seeds_n: int = 25_000,
+) -> dict:
     from crawlspark.config import CrawlConfig
     from crawlspark.engine import CrawlEngine
     from crawlspark.sources import synthweb
@@ -65,7 +78,7 @@ def run_demo(cores: int, skew: bool, maintenance: bool = False) -> dict:
         cfg = CrawlConfig(
             max_depth=3,
             max_rounds=8,
-            web_hosts=10_000,
+            web_hosts=hosts,
             round_seconds=1e9,  # politeness effectively unbounded
             shuffle_partitions=cores,
             hot_host="host00.example" if skew else None,
@@ -74,7 +87,7 @@ def run_demo(cores: int, skew: bool, maintenance: bool = False) -> dict:
             compact_seen_every=2 if maintenance else None,
             expire_frontier=maintenance,
         )
-        seeds = synthweb.seed_list(cfg, n=25_000)
+        seeds = synthweb.seed_list(cfg, n=seeds_n)
         engine = CrawlEngine(spark, cfg, CrawlStorage(spark, root))
         t0 = time.time()
         summary = engine.run(seeds)
@@ -127,6 +140,13 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--skew-only", action="store_true")
     ap.add_argument("--balanced-only", action="store_true")
+    # order-of-magnitude sweep knobs: 10x both (--hosts 100000 --seeds
+    # 250000) crawls ~10^7 URLs with the identical plan/config shape, so
+    # per-URL cost can be compared across 10^5 / 10^6 / 10^7 round sizes
+    ap.add_argument("--hosts", type=int, default=10_000,
+                    help="synthetic-web host count (URL space scales with it)")
+    ap.add_argument("--seeds", type=int, default=25_000,
+                    help="seed-list size")
     ap.add_argument(
         "--maintenance",
         action="store_true",
@@ -156,18 +176,19 @@ def main() -> None:
             sys.exit(1)
 
     results = {}
+    size = dict(hosts=args.hosts, seeds_n=args.seeds)
     if not args.skew_only:
-        results["balanced"] = run_demo(args.cores, skew=False)
+        results["balanced"] = run_demo(args.cores, skew=False, **size)
         if args.maintenance:
             results["balanced_maintenance"] = run_demo(
-                args.cores, skew=False, maintenance=True
+                args.cores, skew=False, maintenance=True, **size
             )
             check_maintenance_twin("balanced", results)
     if not args.balanced_only:
-        results["skew"] = run_demo(args.cores, skew=True)
+        results["skew"] = run_demo(args.cores, skew=True, **size)
         if args.maintenance:
             results["skew_maintenance"] = run_demo(
-                args.cores, skew=True, maintenance=True
+                args.cores, skew=True, maintenance=True, **size
             )
             check_maintenance_twin("skew", results)
     if "balanced" in results and "skew" in results:
